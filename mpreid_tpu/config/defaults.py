@@ -1,0 +1,205 @@
+"""Unified default configuration tree.
+
+The reference maintains two parallel yacs trees — ``cfg`` for the Uni-Prompt
+pipeline (reference ``config/defaults.py:13-351``) and ``cfg_base`` for the
+baseline (``config/defaults_base.py:13-188``). Here a single tree covers both:
+the baseline's flat ``SOLVER.*`` fields and the Uni-Prompt per-stage
+``SOLVER.STAGE1/1A/1B/2`` blocks coexist, so every reference YAML overlay
+(configs/person, configs/ours, configs/veri, configs/VehicleID) merges cleanly.
+
+TPU-specific additions live under ``TPU.*`` (mesh shape, dtype policy, input
+pipeline knobs) and default to sensible single-chip values.
+"""
+
+from .node import CfgNode as CN
+
+
+def _stage_solver() -> CN:
+    """One per-stage solver block (reference defaults.py:120-268)."""
+    s = CN()
+    s.IMS_PER_BATCH = 64
+    s.OPTIMIZER_NAME = "Adam"
+    s.MAX_EPOCHS = 100
+    s.BASE_LR = 3e-4
+    s.MOMENTUM = 0.9
+    s.WEIGHT_DECAY = 0.0005
+    s.WEIGHT_DECAY_BIAS = 0.0005
+    s.WARMUP_FACTOR = 0.01
+    s.WARMUP_EPOCHS = 5
+    s.WARMUP_LR_INIT = 0.01
+    s.LR_MIN = 0.000016
+    s.WARMUP_ITERS = 500
+    s.WARMUP_METHOD = "linear"
+    s.COSINE_MARGIN = 0.5
+    s.COSINE_SCALE = 30
+    s.CHECKPOINT_PERIOD = 10
+    s.LOG_PERIOD = 100
+    s.EVAL_PERIOD = 10
+    # stage-2-only extras (harmless in stage-1 blocks)
+    s.LARGE_FC_LR = False
+    s.BIAS_LR_FACTOR = 1
+    s.CENTER_LR = 0.5
+    s.CENTER_LOSS_WEIGHT = 0.0005
+    s.GAMMA = 0.1
+    s.STEPS = (40, 70)
+    return s
+
+
+def get_default_cfg() -> CN:
+    _C = CN()
+
+    # ------------------------------------------------------------------ MODEL
+    _C.MODEL = CN()
+    _C.MODEL.DEVICE = "tpu"
+    _C.MODEL.DEVICE_ID = "0"
+    _C.MODEL.NAME = "resnet50"
+    _C.MODEL.LAST_STRIDE = 1
+    _C.MODEL.PRETRAIN_PATH = ""
+    _C.MODEL.PRETRAIN_CHOICE = "imagenet"
+    _C.MODEL.NECK = "bnneck"
+    _C.MODEL.IF_WITH_CENTER = "no"
+    _C.MODEL.ID_LOSS_TYPE = "softmax"
+    _C.MODEL.ID_LOSS_WEIGHT = 1.0
+    _C.MODEL.TRIPLET_LOSS_WEIGHT = 1.0
+    _C.MODEL.I2T_LOSS_WEIGHT = 1.0
+    _C.MODEL.METRIC_LOSS_TYPE = "triplet"
+    _C.MODEL.DIST_TRAIN = False
+    _C.MODEL.NO_MARGIN = False
+    _C.MODEL.IF_LABELSMOOTH = "on"
+    _C.MODEL.COS_LAYER = False
+    _C.MODEL.DROP_PATH = 0.1
+    _C.MODEL.DROP_OUT = 0.0
+    _C.MODEL.ATT_DROP_RATE = 0.0
+    _C.MODEL.TRANSFORMER_TYPE = "None"
+    _C.MODEL.STRIDE_SIZE = [16, 16]
+    # SIE (side-information embedding)
+    _C.MODEL.SIE_COE = 3.0
+    _C.MODEL.SIE_CAMERA = False
+    _C.MODEL.SIE_VIEW = False
+    # MoE (reference defaults.py:66-73)
+    _C.MODEL.MOE = CN()
+    _C.MODEL.MOE.ENABLED = False
+    _C.MODEL.MOE.NUM_EXPERTS = 0
+    _C.MODEL.MOE.TOP_K = 0
+    _C.MODEL.MOE.MOE_LAYERS = 0
+    _C.MODEL.MOE.DROPOUT = 0.0
+    _C.MODEL.MOE.FREEZE_EXCEPT_GATE = False
+    _C.MODEL.MOE.MODEL_PATH_LIST = []
+    # Shared first-block routing decision (reference clip/model.py:304-330)
+    _C.MODEL.MOE.SHARED_ROUTING = True
+    _C.MODEL.MOE.AUX_LOSS_COEFF = 0.01
+
+    # ------------------------------------------------------------------ INPUT
+    _C.INPUT = CN()
+    _C.INPUT.SIZE_TRAIN = [384, 128]
+    _C.INPUT.SIZE_TEST = [384, 128]
+    _C.INPUT.PROB = 0.5         # horizontal-flip probability
+    _C.INPUT.RE_PROB = 0.5      # random-erasing probability
+    _C.INPUT.PIXEL_MEAN = [0.485, 0.456, 0.406]
+    _C.INPUT.PIXEL_STD = [0.229, 0.224, 0.225]
+    _C.INPUT.PADDING = 10
+
+    # --------------------------------------------------------------- DATASETS
+    _C.DATASETS = CN()
+    _C.DATASETS.NAMES = "market1501"
+    _C.DATASETS.ROOT_DIR = "../data"
+    _C.DATASETS.EXP_SETTING = "cctv_ir_cctv_rgb"
+
+    # ------------------------------------------------------------- DATALOADER
+    _C.DATALOADER = CN()
+    _C.DATALOADER.NUM_WORKERS = 8
+    _C.DATALOADER.SAMPLER = "softmax"
+    _C.DATALOADER.NUM_INSTANCE = 16
+
+    # ----------------------------------------------------------------- SOLVER
+    _C.SOLVER = CN()
+    _C.SOLVER.SEED = 1234
+    _C.SOLVER.MARGIN = 0.3
+    # Baseline (flat) solver fields — reference defaults_base.py:107-162
+    _C.SOLVER.OPTIMIZER_NAME = "Adam"
+    _C.SOLVER.MAX_EPOCHS = 100
+    _C.SOLVER.BASE_LR = 3e-4
+    _C.SOLVER.LARGE_FC_LR = False
+    _C.SOLVER.BIAS_LR_FACTOR = 1
+    _C.SOLVER.MOMENTUM = 0.9
+    _C.SOLVER.CENTER_LR = 0.5
+    _C.SOLVER.CENTER_LOSS_WEIGHT = 0.0005
+    _C.SOLVER.WEIGHT_DECAY = 0.0005
+    _C.SOLVER.WEIGHT_DECAY_BIAS = 0.0005
+    _C.SOLVER.GAMMA = 0.1
+    _C.SOLVER.STEPS = (40, 70)
+    _C.SOLVER.WARMUP_FACTOR = 0.01
+    _C.SOLVER.WARMUP_EPOCHS = 5
+    _C.SOLVER.WARMUP_LR_INIT = 0.01
+    _C.SOLVER.LR_MIN = 0.000016
+    _C.SOLVER.WARMUP_ITERS = 500
+    _C.SOLVER.WARMUP_METHOD = "linear"
+    _C.SOLVER.COSINE_MARGIN = 0.5
+    _C.SOLVER.COSINE_SCALE = 30
+    _C.SOLVER.CHECKPOINT_PERIOD = 10
+    _C.SOLVER.LOG_PERIOD = 100
+    _C.SOLVER.EVAL_PERIOD = 10
+    _C.SOLVER.IMS_PER_BATCH = 64
+    # Per-stage blocks (Uni-Prompt pipeline)
+    _C.SOLVER.STAGE1 = _stage_solver()
+    _C.SOLVER.STAGE1A = _stage_solver()
+    _C.SOLVER.STAGE1B = _stage_solver()
+    _C.SOLVER.STAGE2 = _stage_solver()
+    # LoRA block (reference defaults.py:274-308; wired, unlike the reference)
+    _C.SOLVER.LORA = CN()
+    _C.SOLVER.LORA.LORA_R = 8
+    _C.SOLVER.LORA.LORA_ALPHA = 16
+    _C.SOLVER.LORA.LORA_DROPOUT = 0.1
+    _C.SOLVER.LORA.IMS_PER_BATCH = 64
+    _C.SOLVER.LORA.OPTIMIZER_NAME = "Adam"
+    _C.SOLVER.LORA.BASE_LR = 0.00001
+    _C.SOLVER.LORA.WARMUP_LR_INIT = 0.000001
+    _C.SOLVER.LORA.LR_MIN = 0.000001
+    _C.SOLVER.LORA.WARMUP_METHOD = "linear"
+    _C.SOLVER.LORA.WEIGHT_DECAY = 0.0001
+    _C.SOLVER.LORA.WEIGHT_DECAY_BIAS = 0.0001
+    _C.SOLVER.LORA.MAX_EPOCHS = 30
+    _C.SOLVER.LORA.WARMUP_EPOCHS = 5
+    _C.SOLVER.LORA.CHECKPOINT_PERIOD = 30
+    _C.SOLVER.LORA.LOG_PERIOD = 50
+    _C.SOLVER.LORA.EVAL_PERIOD = 5
+
+    # ------------------------------------------------------------------- TEST
+    _C.TEST = CN()
+    _C.TEST.IMS_PER_BATCH = 128
+    _C.TEST.RE_RANKING = False
+    _C.TEST.WEIGHT = ""
+    _C.TEST.NECK_FEAT = "after"
+    _C.TEST.FEAT_NORM = "yes"
+    _C.TEST.DIST_MAT = "dist_mat.npy"
+    _C.TEST.EVAL = False
+    # Standard-protocol camera filtering. The reference hard-disables the
+    # same-pid+same-cam junk filter (utils/metrics.py:53-56); keep that as the
+    # parity default but expose the standard protocol behind this flag.
+    _C.TEST.CAMERA_FILTER = False
+    _C.TEST.TTA_ENABLED = False
+    _C.TEST.TTPT = CN()
+    _C.TEST.TTPT.ENABLED = False
+    _C.TEST.TTPT.LR = 0.001
+    _C.TEST.TTPT.STEPS = 5
+    _C.TEST.TTPT.TEMPERATURE = 0.07
+
+    # -------------------------------------------------------------------- TPU
+    _C.TPU = CN()
+    # Mesh axis sizes; -1 means "all available devices" on that axis.
+    _C.TPU.MESH_DATA = -1      # batch / gallery sharding axis
+    _C.TPU.MESH_MODEL = 1      # tensor/expert sharding axis
+    _C.TPU.COMPUTE_DTYPE = "bfloat16"
+    _C.TPU.PARAM_DTYPE = "float32"
+    # Host-side image decode workers feeding the device pipeline.
+    _C.TPU.PREFETCH = 2
+    # Remat (activation checkpointing) for the vision transformer blocks.
+    _C.TPU.REMAT = False
+
+    _C.OUTPUT_DIR = ""
+    return _C
+
+
+# Module-level singletons mirroring the reference's `from config import cfg`.
+cfg = get_default_cfg()
+cfg_base = get_default_cfg()

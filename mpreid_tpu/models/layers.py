@@ -1,0 +1,182 @@
+"""Core transformer layers, TPU-first.
+
+Parity notes against the reference CLIP implementation
+(reference ``model/clip/model.py``):
+
+* LayerNorm always accumulates in fp32 and casts back (ref ``model.py:150-156``
+  keeps LN in fp32 under fp16 training; on TPU we run bf16 activations with
+  the same fp32-LN policy).
+* QuickGELU is ``x * sigmoid(1.702 x)`` (ref ``model.py:159-161``).
+* Attention uses a packed QKV projection mirroring
+  ``nn.MultiheadAttention``'s ``in_proj_weight`` layout (ref ``model.py:264``)
+  so torch checkpoints map 1:1 onto our params.
+
+All matmuls request fp32 MXU accumulation via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 accumulation regardless of activation dtype."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(orig_dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention with torch ``nn.MultiheadAttention``-compatible params.
+
+    Parameters: ``in_proj`` kernel of shape (d, 3d) and bias (3d,) packed as
+    [q | k | v] along the output axis, plus ``out_proj`` dense — matching the
+    reference checkpoint layout for 1:1 weight conversion.
+    """
+
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        # x: (B, L, D). mask: additive (L, L) or None.
+        b, l, d = x.shape
+        assert d == self.dim
+        head_dim = d // self.num_heads
+
+        in_kernel = self.param(
+            "in_proj_kernel", nn.initializers.xavier_uniform(), (d, 3 * d), jnp.float32
+        )
+        in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,), jnp.float32)
+
+        qkv = (
+            jnp.dot(x, in_kernel.astype(self.dtype), preferred_element_type=jnp.float32)
+            + in_bias
+        ).astype(self.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, l, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scale = head_dim**-0.5
+        # fp32 logits + softmax for numerical parity with torch's fp32 softmax.
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        if mask is not None:
+            logits = logits + mask.astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, l, d)
+
+        out_kernel = self.param(
+            "out_proj_kernel", nn.initializers.xavier_uniform(), (d, d), jnp.float32
+        )
+        out_bias = self.param("out_proj_bias", nn.initializers.zeros, (d,), jnp.float32)
+        out = (
+            jnp.dot(out, out_kernel.astype(self.dtype), preferred_element_type=jnp.float32)
+            + out_bias
+        ).astype(self.dtype)
+        return out
+
+
+class MLP(nn.Module):
+    """Transformer MLP: c_fc -> QuickGELU -> c_proj (ref model.py:266-270)."""
+
+    dim: int
+    hidden_mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.Dense(
+            self.dim * self.hidden_mult,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="c_fc",
+        )(x)
+        h = quick_gelu(h)
+        return nn.Dense(
+            self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="c_proj"
+        )(h)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN transformer block (ref model.py:260-281)."""
+
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        x = x + MultiHeadAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
+            LayerNorm(self.dim, name="ln_1")(x), mask
+        )
+        x = x + MLP(self.dim, dtype=self.dtype, name="mlp")(
+            LayerNorm(self.dim, name="ln_2")(x)
+        )
+        return x
+
+
+class BNNeck(nn.Module):
+    """BatchNorm1d bottleneck with permanently-zero bias.
+
+    The reference (``model/make_model.py:53-58``) freezes the BN bias at its
+    kaiming init (zero) via ``requires_grad_(False)``. We keep a ``bias``
+    parameter for checkpoint-layout compatibility but it is zero-initialized
+    and masked out of every optimizer (see solver.optim.trainable_mask).
+    """
+
+    dim: int
+    momentum: float = 0.9  # torch BN default momentum 0.1 => EMA decay 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.dim,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.dim,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+
+        x32 = x.astype(jnp.float32)
+        if train:
+            mean = jnp.mean(x32, axis=0)
+            var = jnp.var(x32, axis=0)
+            n = x.shape[0]
+            # torch tracks *unbiased* variance in running stats.
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(x.dtype)

@@ -1,0 +1,159 @@
+"""CLIP VisionTransformer in Flax, with optional MoE layers.
+
+Behavioral contract (reference ``model/clip/model.py:379-479``):
+
+* patchify with a bias-free conv (patch_size kernel, stride_size stride),
+* prepend a class token, optionally add a camera/view (SIE) embedding to the
+  class token, add a resizable positional embedding, ``ln_pre``,
+* run L transformer blocks; the output exposes THREE tensors:
+  ``x11`` (tokens after L-1 blocks, un-normalized), ``x12`` (tokens after all
+  L blocks, passed through ``ln_post``) and ``xproj = x12 @ proj``,
+* with MoE enabled the first ``moe_layers`` blocks route their MLPs through
+  experts; the first MoE block's routing decision is (optionally) reused by
+  the later MoE blocks and its router logits are returned for the
+  load-balancing loss (reference ``model.py:304-330``). In the MoE path the
+  reference collapses x11 := x12 := final tokens (``model.py:450-454``) —
+  preserved here.
+
+TPU notes: activations run in ``dtype`` (bf16 by default), LayerNorm and
+softmax accumulate fp32, blocks may be rematerialized (``remat=True``) to
+trade FLOPs for HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import LayerNorm, ResidualAttentionBlock
+from .moe import MoEResidualAttentionBlock
+
+
+class VisionTransformer(nn.Module):
+    h_resolution: int
+    w_resolution: int
+    patch_size: int
+    stride_size: int
+    width: int
+    layers: int
+    heads: int
+    output_dim: int
+    num_experts: int = 0
+    top_k: int = 0
+    moe_layers: int = 0
+    dropout: float = 0.0
+    shared_routing: bool = True
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @property
+    def use_moe(self) -> bool:
+        return self.num_experts > 0 and self.top_k > 0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        cv_emb: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array, Optional[jax.Array]]:
+        """x: (B, H, W, 3) image batch (NHWC). Returns (x11, x12, xproj, router_logits)."""
+        b = x.shape[0]
+        w = self.width
+        scale = w**-0.5
+
+        x = nn.Conv(
+            features=w,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.stride_size, self.stride_size),
+            padding="VALID",
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv1",
+        )(x.astype(self.dtype))
+        x = x.reshape(b, -1, w)  # (B, hw, width)
+
+        class_embedding = self.param(
+            "class_embedding", nn.initializers.normal(stddev=scale), (w,), jnp.float32
+        )
+        positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(stddev=scale),
+            (self.h_resolution * self.w_resolution + 1, w),
+            jnp.float32,
+        )
+
+        cls = jnp.broadcast_to(class_embedding.astype(self.dtype), (b, 1, w))
+        if cv_emb is not None:
+            # SIE embedding added to the class token only (ref model.py:420-421)
+            cls = cls + cv_emb[:, None, :].astype(self.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + positional_embedding.astype(self.dtype)
+        x = LayerNorm(w, name="ln_pre")(x)
+
+        block_cls = ResidualAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=())
+
+        router_logits = None
+        if self.use_moe:
+            n_moe = self.layers if self.moe_layers == -1 else min(self.moe_layers, self.layers)
+            routing = None
+            for i in range(n_moe):
+                x, logits_i, combine_i = MoEResidualAttentionBlock(
+                    w,
+                    self.heads,
+                    self.num_experts,
+                    self.top_k,
+                    self.dropout,
+                    dtype=self.dtype,
+                    name=f"moe_resblocks_{i}",
+                )(x, None, routing=routing, deterministic=deterministic)
+                if i == 0:
+                    router_logits = logits_i
+                    if self.shared_routing:
+                        routing = combine_i
+            for i in range(n_moe, self.layers):
+                x = block_cls(w, self.heads, dtype=self.dtype, name=f"resblocks_{i}")(x)
+            x11 = x12 = x  # ref model.py:450-454
+        else:
+            for i in range(self.layers - 1):
+                x = block_cls(w, self.heads, dtype=self.dtype, name=f"resblocks_{i}")(x)
+            x11 = x
+            x12 = block_cls(
+                w, self.heads, dtype=self.dtype, name=f"resblocks_{self.layers - 1}"
+            )(x11)
+
+        x12 = LayerNorm(w, name="ln_post")(x12)
+
+        proj = self.param(
+            "proj", nn.initializers.normal(stddev=scale), (w, self.output_dim), jnp.float32
+        )
+        xproj = jnp.dot(
+            x12, proj.astype(self.dtype), preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+
+        return x11, x12, xproj, router_logits
+
+
+def resize_pos_embed(
+    posemb: jax.Array, gs_new_h: int, gs_new_w: int
+) -> jax.Array:
+    """Bilinearly resize a (1+gs_old², D) positional embedding to a new grid.
+
+    Matches reference ``clip/model.py:731-747`` (F.interpolate bilinear,
+    align_corners=False — jax.image.resize 'linear' has the same semantics).
+    """
+    import math
+
+    posemb_token, posemb_grid = posemb[:1], posemb[1:]
+    gs_old = int(math.sqrt(posemb_grid.shape[0]))
+    d = posemb_grid.shape[-1]
+    grid = posemb_grid.reshape(gs_old, gs_old, d)
+    grid = jax.image.resize(grid, (gs_new_h, gs_new_w, d), method="linear")
+    grid = grid.reshape(gs_new_h * gs_new_w, d)
+    return jnp.concatenate([posemb_token, grid], axis=0)
