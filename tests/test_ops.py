@@ -1,0 +1,126 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpreid_tpu.ops import (
+    cmc_map,
+    euclidean_squared_distmat,
+    re_ranking,
+    re_ranking_numpy,
+)
+
+
+# ---------------------------------------------------------------------------
+# independent per-query loop oracle for CMC/mAP (market1501 protocol)
+# ---------------------------------------------------------------------------
+def cmc_map_loop(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=50,
+                 camera_filter=False):
+    num_q, num_g = distmat.shape
+    max_rank = min(max_rank, num_g)
+    indices = np.argsort(distmat, axis=1)
+    all_cmc, all_ap = [], []
+    for qi in range(num_q):
+        order = indices[qi]
+        if camera_filter:
+            keep = ~((g_pids[order] == q_pids[qi]) & (g_camids[order] == q_camids[qi]))
+        else:
+            keep = np.ones(num_g, bool)
+        raw = (g_pids[order] == q_pids[qi]).astype(np.int32)[keep]
+        if not raw.any():
+            continue
+        cmc = raw.cumsum()
+        cmc[cmc > 1] = 1
+        all_cmc.append(cmc[:max_rank])
+        num_rel = raw.sum()
+        prec = raw.cumsum() / np.arange(1, raw.shape[0] + 1)
+        all_ap.append((prec * raw).sum() / num_rel)
+    return np.stack(all_cmc).mean(0), float(np.mean(all_ap))
+
+
+def make_eval_data(seed, num_q=20, num_g=80, n_ids=10, n_cams=4):
+    rng = np.random.RandomState(seed)
+    q_pids = rng.randint(0, n_ids, num_q)
+    g_pids = rng.randint(0, n_ids, num_g)
+    q_camids = rng.randint(0, n_cams, num_q)
+    g_camids = rng.randint(0, n_cams, num_g)
+    distmat = rng.rand(num_q, num_g).astype(np.float32)
+    return distmat, q_pids, g_pids, q_camids, g_camids
+
+
+@pytest.mark.parametrize("camera_filter", [False, True])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cmc_map_matches_loop_oracle(seed, camera_filter):
+    d, qp, gp, qc, gc = make_eval_data(seed)
+    cmc_ref, map_ref = cmc_map_loop(d, qp, gp, qc, gc, camera_filter=camera_filter)
+    cmc, mAP = cmc_map(
+        jnp.asarray(d), jnp.asarray(qp), jnp.asarray(gp), jnp.asarray(qc),
+        jnp.asarray(gc), max_rank=50, camera_filter=camera_filter,
+    )
+    np.testing.assert_allclose(np.asarray(cmc), cmc_ref, atol=1e-6)
+    assert np.isclose(float(mAP), map_ref, atol=1e-6)
+
+
+def test_cmc_perfect_ranking():
+    # gallery sorted so the correct id is always nearest
+    q_pids = np.arange(5)
+    g_pids = np.arange(5)
+    d = np.ones((5, 5), np.float32)
+    np.fill_diagonal(d, 0.0)
+    cmc, mAP = cmc_map(
+        jnp.asarray(d), jnp.asarray(q_pids), jnp.asarray(g_pids),
+        jnp.zeros(5, jnp.int32), jnp.ones(5, jnp.int32),
+    )
+    assert float(cmc[0]) == 1.0 and float(mAP) == 1.0
+
+
+def test_cmc_query_without_gallery_match_excluded():
+    q_pids = np.array([0, 99])  # pid 99 absent from gallery
+    g_pids = np.array([0, 1])
+    d = np.array([[0.1, 0.9], [0.5, 0.5]], np.float32)
+    cmc, mAP = cmc_map(
+        jnp.asarray(d), jnp.asarray(q_pids), jnp.asarray(g_pids),
+        jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32),
+    )
+    assert float(cmc[0]) == 1.0  # only the valid query counts
+    assert float(mAP) == 1.0
+
+
+def test_squared_distmat():
+    rng = np.random.RandomState(0)
+    q = rng.randn(6, 8).astype(np.float32)
+    g = rng.randn(9, 8).astype(np.float32)
+    got = np.asarray(euclidean_squared_distmat(jnp.asarray(q), jnp.asarray(g)))
+    exp = ((q[:, None, :] - g[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k1,k2", [(6, 3), (10, 4)])
+def test_reranking_matches_numpy_oracle(k1, k2):
+    rng = np.random.RandomState(3)
+    n_ids = 8
+    qf, gf = [], []
+    centers = rng.randn(n_ids, 16) * 3
+    for i in range(24):
+        qf.append(centers[i % n_ids] + rng.randn(16) * 0.5)
+    for i in range(56):
+        gf.append(centers[i % n_ids] + rng.randn(16) * 0.5)
+    qf = np.asarray(qf, np.float32)
+    gf = np.asarray(gf, np.float32)
+
+    ref = re_ranking_numpy(qf, gf, k1=k1, k2=k2, lambda_value=0.3)
+    got = np.asarray(re_ranking(jnp.asarray(qf), jnp.asarray(gf), k1=k1, k2=k2))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_reranking_improves_clustered_retrieval():
+    # re-ranked distances should still rank the right identity first
+    rng = np.random.RandomState(0)
+    centers = rng.randn(4, 32) * 4
+    qf = np.stack([centers[i] + rng.randn(32) * 0.3 for i in range(4)]).astype(np.float32)
+    gf = np.stack(
+        [centers[i % 4] + rng.randn(32) * 0.3 for i in range(20)]
+    ).astype(np.float32)
+    d = np.asarray(re_ranking(jnp.asarray(qf), jnp.asarray(gf), k1=5, k2=2))
+    for i in range(4):
+        assert np.argmin(d[i]) % 4 == i
