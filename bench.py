@@ -1,0 +1,119 @@
+"""Benchmark harness — runs on the real TPU chip.
+
+Primary metric: stage-1a prompt-training throughput (images/sec), directly
+comparable to the reference's only measurable number — ≈945 img/s on an
+unnamed CUDA GPU (50 iters × batch 64 in ≈3.4 s; reference
+``test_output_wizMandD/exp_cctv_ir_cctv_rgb/train_log.txt:299-303``, loop at
+``processor/processor_uniprompt_stage1.py:66-107``). The workload is
+identical: batch-64 prompt-context training steps (text-encoder fwd+bwd +
+SupCon i2t/t2i) against a precomputed image-feature bank, ViT-B/16 CLIP
+scale, 1000 identities.
+
+Also measures gallery feature-extraction throughput (feats/sec/chip,
+BASELINE.json north-star) and reports it in "extras".
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+"""
+
+import json
+import time
+
+
+REFERENCE_STAGE1A_IMG_PER_SEC = 945.0  # see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpreid_tpu.config import get_default_cfg
+    from mpreid_tpu.engine.steps import make_eval_step, make_stage1_step
+    from mpreid_tpu.engine.train_state import initial_state
+    from mpreid_tpu.models import init_variables, make_model_uniprompt
+    from mpreid_tpu.solver import make_optimizer
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "ViT-B-16"
+    cfg.INPUT.SIZE_TRAIN = [256, 128]
+    cfg.INPUT.SIZE_TEST = [256, 128]
+    cfg.SOLVER.STAGE1A.IMS_PER_BATCH = 64
+
+    num_classes = 1000
+    batch = 64
+    embed_dim = 512
+
+    model = make_model_uniprompt(cfg, num_class=num_classes, camera_num=14, view_num=1)
+    variables = init_variables(model, jax.random.PRNGKey(0), cfg)
+
+    # ---- stage-1a prompt-training throughput ----
+    optimizer = make_optimizer(cfg.SOLVER.STAGE1A, variables["params"], stage="stage1a")
+    step = make_stage1_step(model, cfg, optimizer, stage="1a")
+    state = initial_state(variables, optimizer)
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(batch, embed_dim).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, num_classes, batch).astype(np.int32))
+
+    # warmup / compile. NOTE: under the remote TPU runtime block_until_ready
+    # on a scalar does not reliably synchronize — fetch the value instead.
+    state, m = step(state, feats, labels, None, 3.5e-4)
+    _ = float(m["loss"])
+
+    iters = 50  # the reference's measured window is 50 iters
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, feats, labels, None, 3.5e-4)
+    _ = float(m["loss"])
+    _ = float(jnp.sum(jax.tree_util.tree_leaves(state.params)[0]))
+    dt = time.perf_counter() - t0
+    img_per_sec = iters * batch / dt
+
+    # ---- gallery feature extraction throughput (eval forward, bf16) ----
+    # The whole timed loop runs inside ONE jitted lax.scan with a data
+    # dependency between iterations — immune to host dispatch latency,
+    # request caching, or overlap in the remote runtime.
+    from mpreid_tpu.ops.augment import eval_preprocess
+
+    eval_iters = 20
+    images = jnp.asarray(rng.randint(0, 255, (batch, 256, 128, 3), dtype=np.uint8))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def eval_bench(params, batch_stats, images_u8, iters):
+        def body(carry, _):
+            x = eval_preprocess(
+                images_u8 + carry,
+                mean=tuple(cfg.INPUT.PIXEL_MEAN), std=tuple(cfg.INPUT.PIXEL_STD),
+            )
+            f = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+            # depend on EVERY output element so XLA cannot slice the batch away
+            s = jnp.sum(f.astype(jnp.float32))
+            return (s > 1e30).astype(jnp.uint8), s
+        carry, sums = jax.lax.scan(body, jnp.zeros((), jnp.uint8), None, length=iters)
+        return jnp.sum(sums)
+
+    _ = float(eval_bench(state.params, state.batch_stats, images, eval_iters))
+    t0 = time.perf_counter()
+    _ = float(eval_bench(state.params, state.batch_stats, images, eval_iters))
+    eval_dt = time.perf_counter() - t0
+    feats_per_sec = eval_iters * batch / eval_dt
+
+    print(json.dumps({
+        "metric": "stage1a_prompt_train_img_per_sec",
+        "value": round(img_per_sec, 1),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_sec / REFERENCE_STAGE1A_IMG_PER_SEC, 3),
+        "extras": {
+            "gallery_feats_per_sec_per_chip": round(feats_per_sec, 1),
+            "stage1a_sec_per_iter": round(dt / iters, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

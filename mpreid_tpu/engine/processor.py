@@ -1,0 +1,152 @@
+"""Baseline train/eval drivers (ref ``processor/processor.py``).
+
+``do_train`` owns the epoch loop: per-epoch LR from the schedule, jitted
+train steps, periodic eval + checkpoint, samples/s logging with the
+reference's metric definition (batch_size / time_per_batch,
+ref processor.py:99-105). ``do_inference`` extracts features and runs the
+evaluator. Both are thin hosts around the compiled steps in steps.py.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from datetime import timedelta
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from mpreid_tpu.utils.meter import AverageMeter
+from mpreid_tpu.utils.checkpoint import save_checkpoint
+
+from .evaluator import R1mAPEvaluator
+from .steps import make_eval_step, make_train_step
+from .train_state import TrainState, initial_state
+
+
+def run_validation(cfg, model, params, batch_stats, val_loader, num_query,
+                   logger=None, epoch: Optional[int] = None):
+    """Shared eval loop (ref processor.py:117-158 / 187-208)."""
+    evaluator = R1mAPEvaluator(
+        num_query,
+        max_rank=50,
+        feat_norm=cfg.TEST.FEAT_NORM == "yes",
+        reranking=cfg.TEST.RE_RANKING,
+        camera_filter=cfg.TEST.CAMERA_FILTER,
+    )
+    eval_step = make_eval_step(model, cfg)
+    for batch in val_loader.iter_sequential():
+        feat = eval_step(params, batch_stats, {
+            "images": batch["images"],
+            "camids": batch["camids"],
+            "trackids": batch["trackids"],
+        })
+        n = batch["count"]
+        evaluator.update((np.asarray(feat)[:n], batch["pids"][:n], batch["camids"][:n]))
+    cmc, mAP, *_ = evaluator.compute()
+    if logger:
+        tag = f" - Epoch: {epoch}" if epoch is not None else " "
+        logger.info(f"Validation Results{tag}")
+        logger.info("mAP: {:.1%}".format(mAP))
+        for r in (1, 5, 10):
+            logger.info("CMC curve, Rank-{:<3}:{:.1%}".format(r, cmc[r - 1]))
+    return cmc, mAP
+
+
+def do_train(
+    cfg,
+    model,
+    variables,
+    train_loader,
+    val_loader,
+    optimizer,
+    scheduler: Callable[[int], float],
+    loss_fn,
+    num_query: int,
+    centers=None,
+    max_epochs: Optional[int] = None,
+    solver_cfg=None,
+):
+    """Baseline training loop (ref processor.py:11-164)."""
+    solver = solver_cfg if solver_cfg is not None else cfg.SOLVER
+    log_period = solver.LOG_PERIOD
+    checkpoint_period = solver.CHECKPOINT_PERIOD
+    eval_period = solver.EVAL_PERIOD
+    epochs = max_epochs or solver.MAX_EPOCHS
+
+    logger = logging.getLogger("mpreid_tpu.train")
+    logger.info("start training")
+
+    with_center = "center" in cfg.MODEL.METRIC_LOSS_TYPE
+    train_step = make_train_step(
+        model, cfg, loss_fn, optimizer,
+        center_weight=solver.CENTER_LOSS_WEIGHT if with_center else None,
+        center_lr=solver.CENTER_LR if with_center else None,
+    )
+    state = initial_state(variables, optimizer, centers=centers if with_center else None)
+
+    loss_meter, acc_meter = AverageMeter(), AverageMeter()
+    key = jax.random.PRNGKey(cfg.SOLVER.SEED)
+    all_start = time.monotonic()
+    history = []
+
+    for epoch in range(1, epochs + 1):
+        start_time = time.time()
+        loss_meter.reset()
+        acc_meter.reset()
+        lr = scheduler(epoch)
+
+        n_iter = -1
+        for n_iter, batch in enumerate(train_loader.epoch(epoch)):
+            key, step_key = jax.random.split(key)
+            state, metrics = train_step(
+                state,
+                {k: batch[k] for k in ("images", "pids", "camids", "trackids")},
+                lr,
+                step_key,
+            )
+            loss_meter.update(float(metrics["loss"]), batch["images"].shape[0])
+            acc_meter.update(float(metrics["acc"]), 1)
+            if (n_iter + 1) % log_period == 0:
+                logger.info(
+                    "Epoch[{}] Iteration[{}/{}] Loss: {:.3f}, Acc: {:.3f}, Base Lr: {:.2e}".format(
+                        epoch, n_iter + 1, len(train_loader), loss_meter.avg,
+                        acc_meter.avg, lr,
+                    )
+                )
+        if n_iter < 0:
+            raise RuntimeError("empty training epoch — dataset smaller than one batch")
+
+        jax.block_until_ready(state.params)
+        time_per_batch = (time.time() - start_time) / (n_iter + 1)
+        logger.info(
+            "Epoch {} done. Time per batch: {:.3f}[s] Speed: {:.1f}[samples/s]".format(
+                epoch, time_per_batch, train_loader.batcher.batch_size / time_per_batch
+            )
+        )
+        history.append({"epoch": epoch, "loss": loss_meter.avg, "acc": acc_meter.avg})
+
+        if cfg.OUTPUT_DIR and epoch % checkpoint_period == 0:
+            save_checkpoint(
+                os.path.join(cfg.OUTPUT_DIR, f"{cfg.MODEL.NAME}_{epoch}"), state, epoch
+            )
+        if epoch % eval_period == 0 and val_loader is not None:
+            run_validation(cfg, model, state.params, state.batch_stats,
+                           val_loader, num_query, logger, epoch)
+
+    total = timedelta(seconds=time.monotonic() - all_start)
+    logger.info(f"Total running time: {total}")
+    return state, history
+
+
+def do_inference(cfg, model, variables, val_loader, num_query: int):
+    """Feature extraction + metrics (ref processor.py:166-208)."""
+    logger = logging.getLogger("mpreid_tpu.test")
+    logger.info("Enter inferencing")
+    cmc, mAP = run_validation(
+        cfg, model, variables["params"], variables.get("batch_stats", {}),
+        val_loader, num_query, logger,
+    )
+    return cmc[0], cmc[4]

@@ -1,0 +1,204 @@
+"""Jitted step builders — the compiled hot loops.
+
+Each builder closes over the model, config statics and optimizer trees and
+returns one ``jax.jit``-compiled function; the host epoch drivers
+(processor.py / uniprompt.py) just stream batches through them. Augmentation
+runs inside the same compiled program as the forward/backward so a training
+step is a single device launch per batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mpreid_tpu.losses import center_loss, supcon_loss
+from mpreid_tpu.models.moe import load_balancing_loss
+from mpreid_tpu.models.uniprompt import UniPromptReID
+from mpreid_tpu.ops.augment import eval_preprocess, train_augment
+
+from .train_state import TrainState
+
+
+def _labels_for(cfg, batch):
+    cam = batch["camids"] if cfg.MODEL.SIE_CAMERA else None
+    view = batch["trackids"] if cfg.MODEL.SIE_VIEW else None
+    return cam, view
+
+
+def _augment_args(cfg):
+    return dict(
+        mean=tuple(cfg.INPUT.PIXEL_MEAN),
+        std=tuple(cfg.INPUT.PIXEL_STD),
+        flip_prob=cfg.INPUT.PROB,
+        padding=cfg.INPUT.PADDING,
+        re_prob=cfg.INPUT.RE_PROB,
+    )
+
+
+def make_train_step(
+    model,
+    cfg,
+    loss_fn: Callable,
+    optimizer,
+    uniprompt: bool = False,
+    text_features: Optional[jax.Array] = None,
+    center_weight: Optional[float] = None,
+    center_lr: Optional[float] = None,
+):
+    """Baseline/stage-2 train step (ref processor.py:57-88 /
+    processor_uniprompt_stage2.py:88-156 hot loops).
+
+    With ``uniprompt`` and precomputed ``text_features`` the step adds the
+    image-to-text logits term: ``logits_i2t = img_proj @ text_features.T``
+    using score head 0 and feature head 1 only (ref stage2:110-119). MoE
+    router logits contribute the load-balancing aux loss with the
+    reference's hardcoded 0.01 coefficient made configurable
+    (ref stage2:75-77,121-128).
+    """
+    aug = _augment_args(cfg)
+    use_center = center_weight is not None
+    aux_coeff = cfg.MODEL.MOE.AUX_LOSS_COEFF if cfg.MODEL.MOE.ENABLED else 0.0
+
+    @jax.jit
+    def step(state: TrainState, batch, lr, key, text_feats=None):
+        x = train_augment(batch["images"], key, **aug)
+        target = batch["pids"]
+        cam, view = _labels_for(cfg, batch)
+        # differentiate only w.r.t. the trainable partition — frozen params
+        # get neither gradients nor optimizer moments
+        train_params, frozen_params = optimizer.partition(state.params)
+
+        def inner(train_sub, centers):
+            params = optimizer.merge(train_sub, frozen_params)
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, target, cam, view, train=True, mutable=["batch_stats"],
+            )
+            if uniprompt and text_feats is not None:
+                score = out["scores"][0]
+                feat = out["feats"][1]
+                logits_i2t = jnp.dot(
+                    out["img_feature_proj"].astype(jnp.float32),
+                    text_feats.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32,
+                )
+                loss = loss_fn(score, feat, target, cam, logits_i2t)
+            else:
+                loss = loss_fn(out["scores"], out["feats"], target, cam)
+            if aux_coeff and "router_logits" in out:
+                loss = loss + aux_coeff * load_balancing_loss(
+                    out["router_logits"], cfg.MODEL.MOE.TOP_K
+                )
+            if use_center:
+                loss = loss + center_weight * center_loss(centers, out["feats"][1], target)
+            score0 = out["scores"][0]
+            acc = jnp.mean((jnp.argmax(score0, axis=-1) == target).astype(jnp.float32))
+            return loss, (mut["batch_stats"], acc)
+
+        if use_center:
+            (loss, (bs, acc)), (grads, cgrad) = jax.value_and_grad(
+                inner, argnums=(0, 1), has_aux=True
+            )(train_params, state.centers)
+            new_centers = state.centers - center_lr * (cgrad / center_weight)
+        else:
+            (loss, (bs, acc)), grads = jax.value_and_grad(inner, has_aux=True)(
+                train_params, state.centers
+            )
+            new_centers = state.centers
+
+        new_train, new_opt = optimizer.update(grads, state.opt_state, train_params, lr)
+        new_state = TrainState(
+            params=optimizer.merge(new_train, frozen_params),
+            batch_stats=bs, opt_state=new_opt, centers=new_centers,
+        )
+        return new_state, {"loss": loss, "acc": acc}
+
+    if uniprompt and text_features is not None:
+        return functools.partial(step, text_feats=text_features)
+    return step
+
+
+def make_eval_step(model, cfg):
+    """Eval feature extraction (ref processor.py:187-200 hot loop)."""
+    mean, std = tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)
+
+    @jax.jit
+    def step(params, batch_stats, batch, flip: bool = False):
+        x = eval_preprocess(batch["images"], mean=mean, std=std)
+        if flip:
+            x = x[:, :, ::-1, :]
+        cam, view = _labels_for(cfg, batch)
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, cam_label=cam, view_label=view, train=False,
+        )
+
+    return step
+
+
+def make_image_bank_step(model, cfg):
+    """Frozen-encoder projected features (stage-1 bank build,
+    ref processor_uniprompt_stage1.py:41-64)."""
+    mean, std = tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)
+
+    @jax.jit
+    def step(params, batch_stats, batch):
+        x = eval_preprocess(batch["images"], mean=mean, std=std)
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, method=UniPromptReID.get_image,
+        )
+
+    return step
+
+
+def make_text_step(model, stage: str):
+    """Prompted text features for labels (ref make_model_uniprompt.py:160-170)."""
+
+    @functools.partial(jax.jit, static_argnames=("with_view",))
+    def step(params, batch_stats, labels, views=None, with_view: bool = False):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            labels, views if with_view else None, stage,
+            method=UniPromptReID.get_text,
+        )
+
+    return step
+
+
+def make_stage1_step(model, cfg, optimizer, stage: str):
+    """Prompt-context training step (ref processor_uniprompt_stage1.py:72-98):
+    SupCon(i2t) + SupCon(t2i) against a precomputed image-feature bank."""
+
+    @jax.jit
+    def step(state: TrainState, image_feats, target, views, lr):
+        train_params, frozen_params = optimizer.partition(state.params)
+
+        def inner(train_sub):
+            params = optimizer.merge(train_sub, frozen_params)
+            text_feats = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                target, views, stage,
+                method=UniPromptReID.get_text,
+            )
+            loss_i2t = supcon_loss(image_feats, text_feats, target, target)
+            loss_t2i = supcon_loss(text_feats, image_feats, target, target)
+            return loss_i2t + loss_t2i
+
+        loss, grads = jax.value_and_grad(inner)(train_params)
+        new_train, new_opt = optimizer.update(grads, state.opt_state, train_params, lr)
+        return (
+            TrainState(
+                params=optimizer.merge(new_train, frozen_params),
+                batch_stats=state.batch_stats,
+                opt_state=new_opt,
+                centers=state.centers,
+            ),
+            {"loss": loss},
+        )
+
+    return step

@@ -1,0 +1,230 @@
+"""Test-time augmentation / prompt-tuning eval modes.
+
+Re-implementations of the reference's two TTPT inference paths
+(``processor_uniprompt_stage2.py:269-693``) against the *current*
+PromptLearner — the reference's versions reference ``prompt_learner.cls_ctx``
+which no longer exists there (SURVEY.md §2.2 #33, bitrot). Here the tuned
+context is ``ctx_generic``.
+
+* Option A (``do_inference_tta``): image-image retrieval where each query
+  feature is the mean over {original, h-flipped, pseudo-IR (channel mean),
+  pseudo-RGB (first channel replicated)} views (ref ``:607-650``) — the
+  pseudo-modality trick for cross-modality robustness.
+* CLIP-style / Option B (``do_inference_ttpt``): per-query-batch the generic
+  prompt context is tuned for a few AdamW steps by entropy minimization of
+  softmax(image·textᵀ/T) over all classes (ref ``:359-413``); the tuned text
+  feature of the most-similar class becomes the query, and retrieval runs
+  text→gallery-projection (ref ``:460-476``). The whole tuning loop compiles
+  to one XLA program per batch shape (lax.fori_loop over steps).
+
+Metric note: the reference's TTPT paths apply the *standard* same-pid+same-
+camera filter (unlike its main eval path) — preserved here via
+``camera_filter=True``, and averaging is over valid queries (cmc_map
+semantics) rather than the reference's divide-by-all-queries.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpreid_tpu.models.uniprompt import UniPromptReID
+from mpreid_tpu.ops import cmc_map
+from mpreid_tpu.ops.augment import eval_preprocess
+
+from .evaluator import R1mAPEvaluator
+
+
+def _eval_feature_step(model, cfg):
+    """Eval features from *preprocessed* float images (TTA variants reuse it)."""
+
+    @jax.jit
+    def step(params, batch_stats, x, cam, view):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, cam_label=cam, view_label=view, train=False,
+        )
+
+    return step
+
+
+def _labels(cfg, batch):
+    cam = jnp.asarray(batch["camids"]) if cfg.MODEL.SIE_CAMERA else None
+    view = jnp.asarray(batch["trackids"]) if cfg.MODEL.SIE_VIEW else None
+    return cam, view
+
+
+def do_inference_tta(cfg, model, variables, val_loader, num_query: int):
+    """Option A: TTA + pseudo-modality aggregated image features."""
+    logger = logging.getLogger("mpreid_tpu.test_tta")
+    logger.info("Enter inferencing with TTA (Option A - Image Feature Evaluation)")
+
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    mean, std = tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)
+    feat_norm = cfg.TEST.FEAT_NORM == "yes"
+    step = _eval_feature_step(model, cfg)
+
+    evaluator = R1mAPEvaluator(
+        num_query, feat_norm=feat_norm, reranking=cfg.TEST.RE_RANKING,
+        camera_filter=cfg.TEST.CAMERA_FILTER,
+    )
+    processed = 0
+    for batch in val_loader.iter_sequential():
+        x = eval_preprocess(jnp.asarray(batch["images"]), mean=mean, std=std)
+        cam, view = _labels(cfg, batch)
+        is_query = processed < num_query
+        if is_query:
+            views = [x, x[:, :, ::-1, :]]
+            gray = jnp.mean(x, axis=-1, keepdims=True)
+            views.append(jnp.broadcast_to(gray, x.shape))            # pseudo-IR
+            first = x[:, :, :, 0:1]
+            views.append(jnp.broadcast_to(first, x.shape))           # pseudo-RGB
+            feats = [step(params, bstats, v, cam, view) for v in views]
+            feat = jnp.mean(jnp.stack(feats, axis=0), axis=0)
+            if feat_norm:
+                feat = feat / jnp.linalg.norm(feat, axis=1, keepdims=True)
+        else:
+            feat = step(params, bstats, x, cam, view)
+            if feat_norm:
+                feat = feat / jnp.linalg.norm(feat, axis=1, keepdims=True)
+        n = batch["count"]
+        evaluator.update((np.asarray(feat)[:n], batch["pids"][:n], batch["camids"][:n]))
+        processed += n
+
+    cmc, mAP, *_ = evaluator.compute()
+    logger.info("Validation Results (TTA Option A - Image Features)")
+    logger.info("mAP: {:.1%}".format(mAP))
+    for r in (1, 5, 10):
+        logger.info("CMC curve, Rank-{:<3}:{:.1%}".format(r, cmc[r - 1]))
+    return float(cmc[0]), float(cmc[4])
+
+
+def _make_ttpt_tuner(model, cfg, num_classes: int):
+    """Jitted per-batch prompt tuner: entropy-minimizing AdamW on ctx_generic."""
+    lr = cfg.TEST.TTPT.LR
+    steps = cfg.TEST.TTPT.STEPS
+    temp = cfg.TEST.TTPT.TEMPERATURE
+    b1, b2, eps, wd = 0.9, 0.999, 1e-8, 1e-2  # torch AdamW defaults
+
+    def text_all(params, bstats, ctx):
+        params = dict(params)
+        pl = dict(params["prompt_learner"])
+        pl["ctx_generic"] = ctx
+        params["prompt_learner"] = pl
+        labels = jnp.arange(num_classes)
+        return model.apply(
+            {"params": params, "batch_stats": bstats},
+            labels, None, "2", method=UniPromptReID.get_text,
+        )
+
+    @jax.jit
+    def tune(params, bstats, img_feat_agg):
+        ctx0 = params["prompt_learner"]["ctx_generic"]
+
+        def entropy_loss(ctx):
+            tf = text_all(params, bstats, ctx)
+            sim = jnp.dot(
+                img_feat_agg, tf.astype(jnp.float32).T,
+                preferred_element_type=jnp.float32,
+            )
+            probs = jax.nn.softmax(sim / temp, axis=-1)
+            ent = -jnp.sum(probs * jnp.log(probs + 1e-9), axis=-1)
+            return jnp.mean(ent), sim
+
+        def body(i, carry):
+            ctx, m, v, _ = carry
+            (loss, sim), g = jax.value_and_grad(entropy_loss, has_aux=True)(ctx)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * jnp.square(g)
+            t = (i + 1).astype(jnp.float32)
+            mh = m / (1 - b1**t)
+            vh = v / (1 - b2**t)
+            ctx = ctx - lr * (mh / (jnp.sqrt(vh) + eps) + wd * ctx)
+            return ctx, m, v, sim
+
+        init = (ctx0, jnp.zeros_like(ctx0), jnp.zeros_like(ctx0),
+                jnp.zeros((img_feat_agg.shape[0], num_classes), jnp.float32))
+        ctx, _, _, sim = jax.lax.fori_loop(0, steps, body, init)
+
+        final_tf = text_all(params, bstats, ctx)
+        final_tf = final_tf / jnp.linalg.norm(final_tf, axis=1, keepdims=True)
+        best = jnp.argmax(sim, axis=1)
+        return final_tf[best]
+
+    return tune
+
+
+def do_inference_ttpt(cfg, model, variables, val_loader, num_query: int):
+    """CLIP-style (Option B) TTPT eval; falls back to Option A when TTPT is off."""
+    if not cfg.TEST.TTPT.ENABLED:
+        return do_inference_tta(cfg, model, variables, val_loader, num_query)
+
+    logger = logging.getLogger("mpreid_tpu.test_ttpt")
+    logger.info("Enter inferencing with TTA, TTPT (CLIP-style Evaluation - Option B)")
+    logger.info(
+        f"TTPT enabled: LR={cfg.TEST.TTPT.LR}, Steps={cfg.TEST.TTPT.STEPS}, "
+        f"Temp={cfg.TEST.TTPT.TEMPERATURE}"
+    )
+
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    mean, std = tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)
+    feat_norm = cfg.TEST.FEAT_NORM == "yes"
+    tta = cfg.TEST.TTA_ENABLED
+    feat_dim = model.in_planes_proj
+    num_classes = model.num_classes
+
+    step = _eval_feature_step(model, cfg)
+    tuner = _make_ttpt_tuner(model, cfg, num_classes)
+
+    qf, q_pids, q_camids = [], [], []
+    gf, g_pids, g_camids = [], [], []
+    processed = 0
+    for batch in val_loader.iter_sequential():
+        x = eval_preprocess(jnp.asarray(batch["images"]), mean=mean, std=std)
+        cam, view = _labels(cfg, batch)
+        n = batch["count"]
+        if processed < num_query:
+            feats = [step(params, bstats, x, cam, view)[:, -feat_dim:]]
+            if tta:
+                feats.append(step(params, bstats, x[:, :, ::-1, :], cam, view)[:, -feat_dim:])
+            agg = jnp.mean(jnp.stack(feats, axis=0), axis=0)
+            if feat_norm:
+                agg = agg / jnp.linalg.norm(agg, axis=1, keepdims=True)
+            query_feat = tuner(params, bstats, agg.astype(jnp.float32))
+            qf.append(np.asarray(query_feat)[:n])
+            q_pids.extend(batch["pids"][:n])
+            q_camids.extend(batch["camids"][:n])
+        else:
+            feat = step(params, bstats, x, cam, view)
+            if feat_norm:
+                feat = feat / jnp.linalg.norm(feat, axis=1, keepdims=True)
+            gf.append(np.asarray(feat)[:n])
+            g_pids.extend(batch["pids"][:n])
+            g_camids.extend(batch["camids"][:n])
+        processed += n
+
+    qf = jnp.asarray(np.concatenate(qf))
+    gf = jnp.asarray(np.concatenate(gf))
+    gf_proj = gf[:, -feat_dim:]
+    if feat_norm:
+        gf_proj = gf_proj / jnp.linalg.norm(gf_proj, axis=1, keepdims=True)
+    distmat = 1.0 - jnp.dot(qf, gf_proj.T, preferred_element_type=jnp.float32)
+
+    cmc, mAP = cmc_map(
+        distmat,
+        jnp.asarray(np.asarray(q_pids)), jnp.asarray(np.asarray(g_pids)),
+        jnp.asarray(np.asarray(q_camids)), jnp.asarray(np.asarray(g_camids)),
+        camera_filter=True,
+    )
+    logger.info("Validation Results (TTPT CLIP-style)")
+    logger.info("mAP: {:.1%}".format(float(mAP)))
+    for r in (1, 5, 10):
+        logger.info("CMC curve, Rank-{:<3}:{:.1%}".format(r, float(cmc[r - 1])))
+    return float(cmc[0]), float(cmc[4])

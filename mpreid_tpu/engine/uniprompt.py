@@ -1,0 +1,247 @@
+"""Uni-Prompt stage drivers (ref ``processor/processor_uniprompt_stage1.py``
+and ``processor_uniprompt_stage2.py``).
+
+Stage 1 (a/b): build an image-feature bank once with the frozen encoder,
+then train only the prompt contexts with SupCon i2t+t2i over shuffled bank
+batches. Stage 2 (a/b): precompute text features for every class, then
+fine-tune with ID + triplet + i2t losses under the stage's freeze policy.
+
+The four freeze regimes are four optimizers over one TrainState
+(solver.optim.stage_trainable), not four model rebuilds.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from datetime import timedelta
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpreid_tpu.utils.checkpoint import save_checkpoint
+from mpreid_tpu.utils.meter import AverageMeter
+
+from .processor import run_validation
+from .steps import (
+    make_image_bank_step,
+    make_stage1_step,
+    make_text_step,
+    make_train_step,
+)
+from .train_state import TrainState, initial_state
+
+
+def build_image_bank(cfg, model, variables, train_loader_stage1):
+    """One pass over the train set with the frozen encoder
+    (ref stage1:41-64). Returns (features, labels, views) numpy arrays."""
+    bank_step = make_image_bank_step(model, cfg)
+    feats, labels, views = [], [], []
+    for batch in train_loader_stage1.epoch(0, drop_last=False):
+        f = bank_step(
+            variables["params"], variables.get("batch_stats", {}),
+            {"images": batch["images"]},
+        )
+        n = batch["count"]
+        feats.append(np.asarray(f)[:n])
+        labels.append(batch["pids"][:n])
+        views.append(batch["trackids"][:n])
+    return (
+        np.concatenate(feats),
+        np.concatenate(labels),
+        np.concatenate(views),
+    )
+
+
+def do_train_stage1(
+    cfg,
+    model,
+    variables,
+    train_loader_stage1,
+    optimizer,
+    scheduler: Callable[[int], float],
+    is_stage1b: bool = False,
+    bank=None,
+    stage_cfg=None,
+):
+    """Prompt-context training (ref processor_uniprompt_stage1.py:11-120)."""
+    stage_cfg = stage_cfg or cfg.SOLVER.STAGE1
+    logger = logging.getLogger("mpreid_tpu.train")
+    stage = "1b" if is_stage1b else "1a"
+    logger.info(f"Start training stage {stage}")
+    all_start = time.monotonic()
+
+    if bank is None:
+        bank = build_image_bank(cfg, model, variables, train_loader_stage1)
+    feats_bank, labels_bank, views_bank = bank
+    feats_bank = jnp.asarray(feats_bank)
+    labels_bank = jnp.asarray(labels_bank)
+    views_bank = jnp.asarray(views_bank)
+
+    step_fn = make_stage1_step(model, cfg, optimizer, stage=stage)
+    state = initial_state(variables, optimizer)
+
+    batch = stage_cfg.IMS_PER_BATCH
+    num_image = labels_bank.shape[0]
+    i_ter = num_image // batch
+    loss_meter = AverageMeter()
+    rng = np.random.default_rng(cfg.SOLVER.SEED)
+    history = []
+
+    for epoch in range(1, stage_cfg.MAX_EPOCHS + 1):
+        loss_meter.reset()
+        lr = scheduler(epoch)
+        perm = rng.permutation(num_image)
+        for i in range(i_ter + 1):
+            sel = perm[i * batch : min((i + 1) * batch, num_image)]
+            if len(sel) == 0:
+                continue
+            sel = jnp.asarray(sel)
+            state, metrics = step_fn(
+                state,
+                feats_bank[sel],
+                labels_bank[sel],
+                views_bank[sel] if is_stage1b else None,
+                lr,
+            )
+            loss_meter.update(float(metrics["loss"]), len(sel))
+            if (i + 1) % stage_cfg.LOG_PERIOD == 0:
+                logger.info(
+                    "Epoch[{}] Iteration[{}/{}] Loss: {:.3f}, Base Lr: {:.2e}".format(
+                        epoch, i + 1, i_ter + 1, loss_meter.avg, lr
+                    )
+                )
+        history.append({"epoch": epoch, "loss": loss_meter.avg})
+        if cfg.OUTPUT_DIR and epoch % stage_cfg.CHECKPOINT_PERIOD == 0:
+            save_checkpoint(
+                os.path.join(cfg.OUTPUT_DIR, f"{cfg.MODEL.NAME}_stage{stage}_{epoch}"),
+                state, epoch,
+            )
+
+    logger.info(
+        f"Stage {stage} running time: {timedelta(seconds=time.monotonic() - all_start)}"
+    )
+    variables = dict(variables)
+    variables["params"] = state.params
+    return variables, history
+
+
+def precompute_text_features(cfg, model, variables, num_classes: int,
+                             batch: Optional[int] = None) -> np.ndarray:
+    """Per-class text features in label batches (ref stage2:58-73)."""
+    batch = batch or cfg.SOLVER.STAGE2.IMS_PER_BATCH
+    text_step = make_text_step(model, stage="2")
+    out = []
+    for start in range(0, num_classes, batch):
+        labels = jnp.arange(start, min(start + batch, num_classes))
+        out.append(np.asarray(text_step(
+            variables["params"], variables.get("batch_stats", {}), labels
+        )))
+    return np.concatenate(out, axis=0)
+
+
+def do_train_stage2(
+    cfg,
+    model,
+    variables,
+    train_loader_stage2,
+    val_loader,
+    optimizer,
+    scheduler: Callable[[int], float],
+    loss_fn,
+    num_query: int,
+    num_classes: int,
+    centers=None,
+    max_epochs: Optional[int] = None,
+    log_period: Optional[int] = None,
+    checkpoint_period: Optional[int] = None,
+    eval_period: Optional[int] = None,
+):
+    """Stage-2 fine-tune (ref processor_uniprompt_stage2.py:14-223)."""
+    s2 = cfg.SOLVER.STAGE2
+    max_epochs = max_epochs or s2.MAX_EPOCHS
+    log_period = log_period or s2.LOG_PERIOD
+    checkpoint_period = checkpoint_period or s2.CHECKPOINT_PERIOD
+    eval_period = eval_period or s2.EVAL_PERIOD
+
+    logger = logging.getLogger("mpreid_tpu.train")
+    logger.info("start training")
+    all_start = time.monotonic()
+
+    text_features = jnp.asarray(
+        precompute_text_features(cfg, model, variables, num_classes)
+    )
+    with_center = "center" in cfg.MODEL.METRIC_LOSS_TYPE
+    train_step = make_train_step(
+        model, cfg, loss_fn, optimizer, uniprompt=True, text_features=text_features,
+        center_weight=s2.CENTER_LOSS_WEIGHT if with_center else None,
+        center_lr=s2.CENTER_LR if with_center else None,
+    )
+    state = initial_state(variables, optimizer, centers=centers if with_center else None)
+
+    loss_meter, acc_meter = AverageMeter(), AverageMeter()
+    key = jax.random.PRNGKey(cfg.SOLVER.SEED)
+    history = []
+
+    for epoch in range(1, max_epochs + 1):
+        start_time = time.time()
+        loss_meter.reset()
+        acc_meter.reset()
+        lr = scheduler(epoch)
+        n_iter = -1
+        for n_iter, batch in enumerate(train_loader_stage2.epoch(epoch)):
+            key, step_key = jax.random.split(key)
+            state, metrics = train_step(
+                state,
+                {k: batch[k] for k in ("images", "pids", "camids", "trackids")},
+                lr,
+                step_key,
+            )
+            loss_meter.update(float(metrics["loss"]), batch["images"].shape[0])
+            acc_meter.update(float(metrics["acc"]), 1)
+            if (n_iter + 1) % log_period == 0:
+                logger.info(
+                    "Epoch[{}] Iteration[{}/{}] Loss: {:.3f}, Acc: {:.3f}, Base Lr: {:.2e}".format(
+                        epoch, n_iter + 1, len(train_loader_stage2),
+                        loss_meter.avg, acc_meter.avg, lr,
+                    )
+                )
+        if n_iter < 0:
+            raise RuntimeError("empty training epoch — dataset smaller than one batch")
+
+        jax.block_until_ready(state.params)
+        time_per_batch = (time.time() - start_time) / (n_iter + 1)
+        logger.info(
+            "Epoch {} done. Time per batch: {:.3f}[s] Speed: {:.1f}[samples/s]".format(
+                epoch, time_per_batch,
+                train_loader_stage2.batcher.batch_size / time_per_batch,
+            )
+        )
+        history.append({"epoch": epoch, "loss": loss_meter.avg, "acc": acc_meter.avg})
+
+        out_dir = cfg.OUTPUT_DIR and os.path.join(cfg.OUTPUT_DIR, cfg.DATASETS.EXP_SETTING)
+        if out_dir and epoch % checkpoint_period == 0:
+            save_checkpoint(os.path.join(out_dir, f"{cfg.MODEL.NAME}_{epoch}"), state, epoch)
+        if epoch % eval_period == 0 and val_loader is not None:
+            run_validation(cfg, model, state.params, state.batch_stats,
+                           val_loader, num_query, logger, epoch)
+
+    logger.info(f"Total running time: {timedelta(seconds=time.monotonic() - all_start)}")
+    variables = dict(variables)
+    variables["params"] = state.params
+    variables["batch_stats"] = state.batch_stats
+    return variables, history
+
+
+def do_inference(cfg, model, variables, val_loader, num_query: int):
+    """Uni-Prompt eval (ref processor_uniprompt_stage2.py:225-266)."""
+    logger = logging.getLogger("mpreid_tpu.test")
+    logger.info("Enter inferencing")
+    cmc, mAP = run_validation(
+        cfg, model, variables["params"], variables.get("batch_stats", {}),
+        val_loader, num_query, logger,
+    )
+    return cmc[0], cmc[4]

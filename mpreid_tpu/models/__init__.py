@@ -14,6 +14,7 @@ from .factory import (
     load_pretrained,
     make_model,
     make_model_uniprompt,
+    switch_to_moe,
 )
 from .layers import BNNeck, LayerNorm, MultiHeadAttention, ResidualAttentionBlock
 from .moe import load_balancing_loss, topk_routing

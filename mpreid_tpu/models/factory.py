@@ -105,6 +105,71 @@ def graft_clip_variables(
     return variables
 
 
+def switch_to_moe(cfg, model, variables) -> Tuple[Any, Dict[str, Any]]:
+    """Convert a trained dense model to its MoE variant ("upcycling").
+
+    The reference calls ``model.switch_to_moe_model(cfg)`` after stage 1
+    (ref train_uniprompt.py:128-129) but never defines it — the MoE path is
+    dead code as shipped (SURVEY.md §7 defect #1). This is the working
+    equivalent: rebuild the model with MoE layers enabled and graft the
+    dense weights — each expert MLP initialized from the dense block's MLP,
+    gates zero-initialized (uniform routing at step 0), everything else
+    copied verbatim.
+    """
+    import dataclasses as _dc
+
+    import flax
+
+    moe = cfg.MODEL.MOE
+    if not moe.ENABLED:
+        return model, variables
+    new_clip = _dc.replace(
+        model.clip_config,
+        num_experts=moe.NUM_EXPERTS,
+        top_k=moe.TOP_K,
+        moe_layers=moe.MOE_LAYERS,
+        dropout=moe.DROPOUT,
+        shared_routing=moe.SHARED_ROUTING,
+    )
+    new_model = _dc.replace(model, clip_config=new_clip)
+    new_vars = init_variables(new_model, jax.random.PRNGKey(0), cfg)
+    new_vars = flax.core.unfreeze(new_vars)
+
+    old_params = variables["params"]
+    new_params = new_vars["params"]
+    n_moe = new_clip.vision_layers if moe.MOE_LAYERS == -1 else min(
+        moe.MOE_LAYERS, new_clip.vision_layers
+    )
+    e = moe.NUM_EXPERTS
+    for key in list(new_params.keys()):
+        if key == "visual":
+            continue
+        if key in old_params:
+            new_params[key] = old_params[key]
+    old_vis = old_params["visual"]
+    new_vis = dict(new_params["visual"])
+    for k in new_vis:
+        if k.startswith("moe_resblocks_"):
+            i = int(k.split("_")[-1])
+            src = dict(old_vis[f"resblocks_{i}"])
+            mlp = src.pop("mlp")
+            src["experts"] = {
+                "c_fc_kernel": jnp.tile(mlp["c_fc"]["kernel"][None], (e, 1, 1)),
+                "c_fc_bias": jnp.tile(mlp["c_fc"]["bias"][None], (e, 1)),
+                "c_proj_kernel": jnp.tile(mlp["c_proj"]["kernel"][None], (e, 1, 1)),
+                "c_proj_bias": jnp.tile(mlp["c_proj"]["bias"][None], (e, 1)),
+            }
+            src["gate_kernel"] = jnp.zeros_like(new_vis[k]["gate_kernel"])
+            new_vis[k] = src
+        elif k in old_vis:
+            new_vis[k] = old_vis[k]
+    new_params["visual"] = new_vis
+    new_vars["params"] = new_params
+    if "batch_stats" in variables:
+        new_vars["batch_stats"] = variables["batch_stats"]
+    return new_model, new_vars
+
+
 def load_pretrained(
     variables: Dict[str, Any], cfg, path: Optional[str] = None
 ) -> Dict[str, Any]:

@@ -40,6 +40,10 @@ N_MODAL_CTX = 4
 N_PLAT_CTX = 4
 N_TOTAL_CTX = N_GENERIC_CTX + N_MODAL_CTX + N_PLAT_CTX
 PROMPT_SUFFIX = "person."
+# The reference hardcodes 512 for three semantically distinct dims that
+# coincide for ViT-B/16 (ref :89,279,299): prompt ctx_dim (= text transformer
+# width), the visual prompt / fusion dim (= CLIP embed_dim). We derive each
+# from the CLIPConfig instead.
 CTX_DIM = 512
 
 
@@ -131,10 +135,16 @@ class UniPromptReID(nn.Module):
     def in_planes_proj(self) -> int:
         return self.clip_config.embed_dim
 
+    @property
+    def ctx_dim(self) -> int:
+        return self.clip_config.transformer_width
+
     def setup(self):
         self.image_encoder = make_visual_tower(self.clip_config, self.dtype, self.remat)
         self.text_encoder = make_text_tower(self.clip_config, self.dtype)
-        self.prompt_learner = PromptLearner(self.num_classes, dtype=self.dtype)
+        self.prompt_learner = PromptLearner(
+            self.num_classes, ctx_dim=self.ctx_dim, dtype=self.dtype
+        )
         self.bottleneck = BNNeck(self.in_planes)
         self.bottleneck_proj = BNNeck(self.in_planes_proj)
         self.classifier = nn.Dense(
@@ -145,16 +155,18 @@ class UniPromptReID(nn.Module):
             self.num_classes, use_bias=False, kernel_init=classifier_init,
             dtype=jnp.float32, param_dtype=jnp.float32,
         )
-        # learned visual prompt (ref :112-114)
+        # learned visual prompt (ref :112-114) — added to projected tokens
         self.visual_prompt = self.param(
             "visual_prompt",
             nn.initializers.normal(stddev=0.02),
-            (1, 1, CTX_DIM),
+            (1, 1, self.in_planes_proj),
             jnp.float32,
         )
         # MLP feature fusion (ref :31-47)
         self.fusion_fc1 = nn.Dense(256, dtype=self.dtype, param_dtype=jnp.float32)
-        self.fusion_fc2 = nn.Dense(CTX_DIM, dtype=self.dtype, param_dtype=jnp.float32)
+        self.fusion_fc2 = nn.Dense(
+            self.in_planes_proj, dtype=self.dtype, param_dtype=jnp.float32
+        )
 
         if self.sie_camera and self.sie_view:
             n_embed = self.camera_num * self.view_num
@@ -178,11 +190,12 @@ class UniPromptReID(nn.Module):
         """Prompted text features for the given identity labels (ref :160-170)."""
         ctx = self.prompt_learner.context(label, view, stage)
         b = label.shape[0]
+        d = self.ctx_dim
         embedding = self.text_encoder.embed(self.tokenized_prompts)  # (1, 77, D)
-        prefix = jnp.broadcast_to(embedding[:, :1], (b, 1, CTX_DIM))
+        prefix = jnp.broadcast_to(embedding[:, :1], (b, 1, d))
         suffix = jnp.broadcast_to(
             embedding[:, 1 + N_TOTAL_CTX :],
-            (b, embedding.shape[1] - 1 - N_TOTAL_CTX, CTX_DIM),
+            (b, embedding.shape[1] - 1 - N_TOTAL_CTX, d),
         )
         prompts = jnp.concatenate([prefix, ctx.astype(prefix.dtype), suffix], axis=1)
         return self.text_encoder.encode_embeddings(prompts, self.tokenized_prompts)

@@ -1,0 +1,92 @@
+"""Device mesh and sharding rules.
+
+The reference's distribution story is NCCL process groups + DataParallel
+(SURVEY.md §2.3) — none of which maps to TPU. Here a single
+``jax.sharding.Mesh`` with axes ``('data', 'model')`` covers every strategy
+this workload needs:
+
+  * **DP** — batches sharded over ``data``,
+  * **TP** — classifier kernels (num_classes axis) sharded over ``model``,
+  * **EP** — stacked MoE expert tensors sharded over ``model`` (their
+    leading axis is the expert axis),
+  * **gallery/sequence sharding** — eval features sharded over ``data``
+    (the long axis of this workload is the gallery, SURVEY.md §5).
+
+Everything else replicates; XLA inserts the psum/all-gather collectives over
+ICI during pjit compilation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def mesh_from_cfg(cfg, devices=None) -> Mesh:
+    return make_mesh(cfg.TPU.MESH_DATA, cfg.TPU.MESH_MODEL, devices)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_spec(path: str) -> P:
+    """PartitionSpec for one parameter, by path string.
+
+    TP: classifier kernels (in, num_classes) shard the class axis.
+    EP: expert tensors (E, ...) shard the expert axis.
+    """
+    parts = path.split("/")
+    if "classifier" in parts[0] and parts[-1] == "kernel":
+        return P(None, "model")
+    if "experts" in parts and parts[-1].startswith("c_"):
+        return P("model")
+    if parts[-1] == "ctx_generic":
+        # per-identity prompt contexts scale with num_classes — shard them
+        return P("model")
+    return P()
+
+
+def shard_variables(variables: Any, mesh: Mesh) -> Any:
+    """Place a variable tree on the mesh per ``param_spec``."""
+    from mpreid_tpu.solver.optim import path_strings
+
+    def place(subtree):
+        names = path_strings(subtree)
+        return jax.tree_util.tree_map(
+            lambda x, n: jax.device_put(x, NamedSharding(mesh, param_spec(n))),
+            subtree,
+            names,
+        )
+
+    return {k: place(v) for k, v in variables.items()}
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Put array leaves with the leading (batch) axis sharded over 'data'."""
+    sh = batch_sharding(mesh)
+
+    def place(x):
+        if hasattr(x, "ndim") and getattr(x, "ndim", 0) >= 1:
+            return jax.device_put(np.asarray(x), sh)
+        return x
+
+    return jax.tree_util.tree_map(place, batch)

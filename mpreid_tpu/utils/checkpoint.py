@@ -1,0 +1,67 @@
+"""Checkpoint save/load via orbax.
+
+The reference only ever saves raw ``state_dict`` weights — no optimizer,
+scheduler or epoch state, so no mid-run resume exists
+(ref processor/processor.py:107-114; SURVEY.md §5). Here checkpoints carry
+the full TrainState (params + batch_stats + optimizer moments + epoch),
+enabling true resume, while ``save_weights``/``load_weights`` keep the
+reference's weights-only flow (``load_param``, ref make_model.py:118-122).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_numpy(tree: Any) -> Any:
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_checkpoint(path: str, state: Any, epoch: int) -> None:
+    """Save full train state (+epoch) to ``path`` (a directory)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "params": _to_numpy(state.params),
+        "batch_stats": _to_numpy(state.batch_stats),
+        "opt_state": _to_numpy(state.opt_state),
+        "epoch": np.asarray(epoch),
+    }
+    if state.centers is not None:
+        payload["centers"] = np.asarray(state.centers)
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str) -> dict:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def save_weights(path: str, params: Any, batch_stats: Any = None) -> None:
+    """Weights-only save (the reference's torch.save(state_dict()) analogue)."""
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": _to_numpy(params)}
+    if batch_stats:
+        payload["batch_stats"] = _to_numpy(batch_stats)
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_weights(path: str, variables: dict) -> dict:
+    """Load weights into an existing variable tree (ref load_param:118-122).
+
+    Arrays are matched by tree position; missing collections are kept from
+    the input tree.
+    """
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    out = dict(variables)
+    out["params"] = restored["params"]
+    if "batch_stats" in restored:
+        out["batch_stats"] = restored["batch_stats"]
+    return out
