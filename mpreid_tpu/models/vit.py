@@ -154,6 +154,10 @@ def resize_pos_embed(
     gs_old = int(math.sqrt(posemb_grid.shape[0]))
     d = posemb_grid.shape[-1]
     grid = posemb_grid.reshape(gs_old, gs_old, d)
-    grid = jax.image.resize(grid, (gs_new_h, gs_new_w, d), method="linear")
+    # antialias=False: F.interpolate(bilinear) does not low-pass on
+    # downsampling; jax.image.resize would by default.
+    grid = jax.image.resize(
+        grid, (gs_new_h, gs_new_w, d), method="linear", antialias=False
+    )
     grid = grid.reshape(gs_new_h * gs_new_w, d)
     return jnp.concatenate([posemb_token, grid], axis=0)

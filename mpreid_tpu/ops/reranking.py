@@ -76,6 +76,10 @@ def re_ranking(
     orig = euclidean_squared_distmat(feat, feat)
     orig = (orig / jnp.max(orig, axis=0)).T
 
+    # clamp neighbor counts to the corpus size (NumPy slicing in the
+    # reference truncates silently for tiny galleries)
+    k1 = min(k1, n - 1)
+    k2 = min(k2, n)
     half = int(round(k1 / 2))
     k_top = max(k1 + 1, half + 1, k2)
     _, nn = jax.lax.top_k(-orig, k_top)
@@ -101,8 +105,13 @@ def re_ranking(
         s = _multi_hot(nn[:, :k2], n) / k2
         v = jnp.dot(s, v, preferred_element_type=jnp.float32)
 
-    # min-sum via the L1 identity (rows of v sum to 1)
-    l1 = _l1_cross(v[:num_q], v[num_q:])
+    # min-sum via the L1 identity (rows of v sum to 1). Pallas tiled kernel
+    # on TPU (VMEM-blocked), chunked XLA elsewhere — measured at parity on
+    # v5e, kept for the larger-gallery regime where XLA's broadcast
+    # temporaries spill.
+    from .pallas_kernels import l1_cross
+
+    l1 = l1_cross(v[:num_q], v[num_q:])
     min_sums = 1.0 - 0.5 * l1
     jaccard = 1.0 - min_sums / (2.0 - min_sums)
 

@@ -1,3 +1,4 @@
+from .sharded_eval import sharded_cmc_map, sharded_distmat, sharded_topk
 from .mesh import (
     batch_sharding,
     make_mesh,

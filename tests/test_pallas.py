@@ -1,0 +1,77 @@
+"""Pallas kernels vs XLA/NumPy oracles (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpreid_tpu.losses import triplet_loss
+from mpreid_tpu.ops.pallas_kernels import (
+    _batch_hard_forward,
+    batch_hard_triplet_loss,
+    fused_batch_hard,
+    l1_cross_pallas,
+)
+
+
+def pk_batch(seed=0, n_ids=4, k=4, dim=32):
+    rng = np.random.RandomState(seed)
+    labels = np.repeat(np.arange(n_ids), k)
+    feats = rng.randn(n_ids * k, dim).astype(np.float32)
+    return jnp.asarray(feats), jnp.asarray(labels)
+
+
+class TestFusedBatchHard:
+    def test_forward_matches_xla(self):
+        feats, labels = pk_batch()
+        ap_p, an_p, p_p, n_p = _batch_hard_forward(feats, labels, interpret=True)
+        from mpreid_tpu.losses import euclidean_dist, hard_example_mining
+
+        d = euclidean_dist(feats, feats)
+        ap, an = hard_example_mining(d, labels)
+        np.testing.assert_allclose(np.asarray(ap_p), np.asarray(ap), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(an_p), np.asarray(an), rtol=1e-5)
+
+    def test_forward_nondivisible_batch(self):
+        # batch 12 (not a multiple of 8) exercises padding
+        feats, labels = pk_batch(n_ids=3, k=4, dim=20)
+        ap_p, an_p, _, _ = _batch_hard_forward(feats, labels, interpret=True)
+        from mpreid_tpu.losses import euclidean_dist, hard_example_mining
+
+        ap, an = hard_example_mining(euclidean_dist(feats, feats), labels)
+        np.testing.assert_allclose(np.asarray(ap_p), np.asarray(ap), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(an_p), np.asarray(an), rtol=1e-5)
+
+    def test_custom_vjp_matches_autodiff(self):
+        feats, labels = pk_batch(seed=3)
+
+        def loss_fused(f):
+            return batch_hard_triplet_loss(f, labels, margin=0.3, use_pallas=False)[0]
+
+        def loss_ref(f):
+            return triplet_loss(f, labels, margin=0.3)[0]
+
+        g_fused = jax.grad(loss_fused)(feats)
+        g_ref = jax.grad(loss_ref)(feats)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_soft_margin_grad(self):
+        feats, labels = pk_batch(seed=5)
+        g1 = jax.grad(lambda f: batch_hard_triplet_loss(f, labels, None, False)[0])(feats)
+        g2 = jax.grad(lambda f: triplet_loss(f, labels, margin=None)[0])(feats)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-5)
+
+
+class TestL1Cross:
+    @pytest.mark.parametrize("q,g,n", [(16, 24, 40), (130, 70, 600)])
+    def test_matches_numpy(self, q, g, n):
+        rng = np.random.RandomState(0)
+        a = np.abs(rng.randn(q, n)).astype(np.float32)
+        b = np.abs(rng.randn(g, n)).astype(np.float32)
+        got = np.asarray(
+            l1_cross_pallas(jnp.asarray(a), jnp.asarray(b),
+                            tile_q=64, tile_g=64, chunk_k=128, interpret=True)
+        )
+        exp = np.abs(a[:, None, :] - b[None, :, :]).sum(-1)
+        np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-3)

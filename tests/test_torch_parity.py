@@ -1,0 +1,161 @@
+"""Numerical parity against the reference PyTorch CLIP.
+
+Builds the reference's torch CLIP (imported from the read-only reference
+checkout as an *oracle*) from a synthetic state_dict, converts the same
+state_dict with our converter, and compares vision/text tower outputs
+element-wise. Validates: conv patchify weight transposition, packed-QKV
+attention layout, QuickGELU, fp32 LayerNorm, positional-embedding bilinear
+resize, EOT pooling and projections.
+
+Skipped when the reference checkout or torch is unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(os.path.join(REFERENCE, "model", "clip")):
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+
+def _load_reference_clip_module():
+    import importlib.util
+
+    path = os.path.join(REFERENCE, "model", "clip", "model.py")
+    spec = importlib.util.spec_from_file_location("ref_clip_model", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def make_synthetic_state_dict(
+    embed_dim=32, vision_width=64, vision_layers=2, patch=16, grid=4,
+    transformer_width=64, transformer_layers=2, vocab=1000, ctx_len=77,
+):
+    """Random ViT-style CLIP state_dict at tiny scale."""
+    g = torch.Generator().manual_seed(0)
+
+    def r(*shape):
+        return torch.randn(*shape, generator=g) * 0.02
+
+    sd = {
+        "visual.conv1.weight": r(vision_width, 3, patch, patch),
+        "visual.class_embedding": r(vision_width),
+        "visual.positional_embedding": r(grid * grid + 1, vision_width),
+        "visual.ln_pre.weight": torch.ones(vision_width),
+        "visual.ln_pre.bias": r(vision_width),
+        "visual.ln_post.weight": torch.ones(vision_width),
+        "visual.ln_post.bias": r(vision_width),
+        "visual.proj": r(vision_width, embed_dim),
+        "positional_embedding": r(ctx_len, transformer_width),
+        "token_embedding.weight": r(vocab, transformer_width),
+        "ln_final.weight": torch.ones(transformer_width),
+        "ln_final.bias": r(transformer_width),
+        "text_projection": r(transformer_width, embed_dim),
+        "logit_scale": torch.tensor(2.6593),
+    }
+
+    def block(prefix, width):
+        sd.update({
+            f"{prefix}.attn.in_proj_weight": r(3 * width, width),
+            f"{prefix}.attn.in_proj_bias": r(3 * width),
+            f"{prefix}.attn.out_proj.weight": r(width, width),
+            f"{prefix}.attn.out_proj.bias": r(width),
+            f"{prefix}.ln_1.weight": torch.ones(width),
+            f"{prefix}.ln_1.bias": r(width),
+            f"{prefix}.mlp.c_fc.weight": r(4 * width, width),
+            f"{prefix}.mlp.c_fc.bias": r(4 * width),
+            f"{prefix}.mlp.c_proj.weight": r(width, 4 * width),
+            f"{prefix}.mlp.c_proj.bias": r(width),
+            f"{prefix}.ln_2.weight": torch.ones(width),
+            f"{prefix}.ln_2.bias": r(width),
+        })
+
+    for i in range(vision_layers):
+        block(f"visual.transformer.resblocks.{i}", vision_width)
+    for i in range(transformer_layers):
+        block(f"transformer.resblocks.{i}", transformer_width)
+    return sd
+
+
+@pytest.fixture(scope="module")
+def towers():
+    import jax
+
+    from mpreid_tpu.models.clip_model import CLIP, convert_clip_state_dict
+
+    ref_mod = _load_reference_clip_module()
+    h_res, w_res = 4, 2  # resized grid (rectangular, exercises resize path)
+    sd = make_synthetic_state_dict()
+
+    torch_model = ref_mod.build_model(
+        {k: v.clone() for k, v in sd.items()}, h_res, w_res, 16
+    ).float().eval()
+
+    cfg, variables = convert_clip_state_dict(sd, h_res, w_res, 16)
+    jax_model = CLIP(cfg, dtype=np.float32)
+    return torch_model, jax_model, variables
+
+
+def test_visual_tower_parity(towers):
+    import jax.numpy as jnp
+
+    torch_model, jax_model, variables = towers
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 64, 32).astype(np.float32)  # NCHW for torch
+
+    with torch.no_grad():
+        t11, t12, tproj = torch_model.visual(torch.from_numpy(x))
+
+    j11, j12, jproj, _ = jax_model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        method=lambda m, im: m.encode_image(im),
+    )
+    np.testing.assert_allclose(np.asarray(j11), t11.numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j12), t12.numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(jproj), tproj.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_text_tower_parity(towers):
+    import jax.numpy as jnp
+
+    torch_model, jax_model, variables = towers
+    rng = np.random.RandomState(1)
+    tokens = np.zeros((3, 77), np.int64)
+    for i in range(3):
+        length = 5 + i
+        tokens[i, 0] = 900  # SOT-ish
+        tokens[i, 1:length] = rng.randint(1, 800, length - 1)
+        tokens[i, length] = 999  # EOT = max id → argmax pooling picks it
+
+    with torch.no_grad():
+        t_feat = torch_model.encode_text(torch.from_numpy(tokens))
+
+    j_feat = jax_model.apply(
+        variables, jnp.asarray(tokens.astype(np.int32)),
+        method=lambda m, t: m.encode_text(t),
+    )
+    np.testing.assert_allclose(np.asarray(j_feat), t_feat.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_pos_embed_resize_matches_torch_interpolate(towers):
+    # resize_pos_embed vs F.interpolate bilinear (ref clip/model.py:731-747)
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+
+    from mpreid_tpu.models.vit import resize_pos_embed
+
+    rng = np.random.RandomState(2)
+    posemb = rng.randn(17, 8).astype(np.float32)  # 4x4 grid + cls
+    ours = np.asarray(resize_pos_embed(jnp.asarray(posemb), 6, 3))
+
+    grid = torch.from_numpy(posemb[1:]).reshape(1, 4, 4, 8).permute(0, 3, 1, 2)
+    ref = F.interpolate(grid, size=(6, 3), mode="bilinear")
+    ref = ref.permute(0, 2, 3, 1).reshape(18, 8).numpy()
+    np.testing.assert_allclose(ours[1:], ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ours[0], posemb[0])
