@@ -147,6 +147,7 @@ def get_default_cfg() -> CN:
     _C.SOLVER.STAGE2 = _stage_solver()
     # LoRA block (reference defaults.py:274-308; wired, unlike the reference)
     _C.SOLVER.LORA = CN()
+    _C.SOLVER.LORA.ENABLED = False
     _C.SOLVER.LORA.LORA_R = 8
     _C.SOLVER.LORA.LORA_ALPHA = 16
     _C.SOLVER.LORA.LORA_DROPOUT = 0.1
@@ -195,6 +196,10 @@ def get_default_cfg() -> CN:
     _C.TPU.PREFETCH = 2
     # Remat (activation checkpointing) for the vision transformer blocks.
     _C.TPU.REMAT = False
+    # When set, a jax.profiler trace of PROFILE_STEPS early steps of the
+    # first epoch is written here (view with tensorboard/xprof).
+    _C.TPU.PROFILE_DIR = ""
+    _C.TPU.PROFILE_STEPS = 5
 
     _C.OUTPUT_DIR = ""
     return _C

@@ -134,6 +134,92 @@ def make_msmt17(root: str, n_ids: int = 4, imgs: int = 3):
     return base
 
 
+def make_duke(root: str, occluded: bool = False, n_ids: int = 4, imgs: int = 3):
+    sub = "Occluded_Duke" if occluded else "DukeMTMC-reID"
+    base = osp.join(root, "dukemtmcreid", sub)
+    seed = 2000
+    for split, ids in (
+        ("bounding_box_train", range(1, n_ids + 1)),
+        ("query", range(n_ids + 1, n_ids * 2 + 1)),
+        ("bounding_box_test", range(n_ids + 1, n_ids * 2 + 1)),
+    ):
+        for pid in ids:
+            for i in range(imgs):
+                cam = (i % 8) + 1
+                _write_img(osp.join(base, split, f"{pid:04d}_c{cam}_f{i:07d}.jpg"), seed)
+                seed += 1
+    return base
+
+
+def make_g2aps(root: str, n_ids: int = 4, imgs: int = 3):
+    base = osp.join(root, "G2APS_in_market1501_style", "Market-1501-v15.09.15")
+    seed = 2500
+    for split, ids in (
+        ("bounding_box_train", range(1, n_ids + 1)),
+        ("query", range(n_ids + 1, n_ids * 2 + 1)),
+        ("bounding_box_test", range(n_ids + 1, n_ids * 2 + 1)),
+    ):
+        for pid in ids:
+            for i in range(imgs):
+                cam = (i % 2) + 1
+                _write_img(osp.join(base, split, f"{pid:04d}_c{cam}s1_{i:06d}.jpg"), seed)
+                seed += 1
+    return base
+
+
+def make_veri(root: str, n_ids: int = 4, imgs: int = 3, n_views: int = 8):
+    base = osp.join(root, "VeRi")
+    os.makedirs(osp.join(base, "keypoints"), exist_ok=True)
+    seed = 3000
+    kp_lines = {"keypoint_train.txt": [], "keypoint_test.txt": []}
+    for s_idx, (split, ids, kp) in enumerate((
+        ("image_train", range(1, n_ids + 1), "keypoint_train.txt"),
+        ("image_query", range(n_ids + 1, n_ids * 2 + 1), "keypoint_test.txt"),
+        ("image_test", range(n_ids + 1, n_ids * 2 + 1), "keypoint_test.txt"),
+    )):
+        for pid in ids:
+            for i in range(imgs):
+                cam = (i % 20) + 1
+                name = f"{pid:04d}_c{cam:03d}_{s_idx * 100 + i:08d}_0.jpg"
+                _write_img(osp.join(base, split, name), seed)
+                seed += 1
+                viewid = (pid + i) % n_views
+                kp_lines[kp].append(
+                    f"{split}/{name} " + " ".join(["0"] * 5) + f" {viewid}"
+                )
+    for fname, lines in kp_lines.items():
+        with open(osp.join(base, "keypoints", fname), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return base
+
+
+def make_agreid(root: str, exp_setting: str = "exp1", n_ids: int = 4, imgs: int = 2):
+    seed = 4000
+    query_lines, gallery_lines = [], []
+    # identity = concat(P, T, A) digits — keep T/A fixed per pid so each
+    # pid is one identity (matches AG-ReID naming where T/A encode the
+    # tracklet consistently per id)
+    for pid in range(1, n_ids + 1):
+        for i in range(imgs):
+            name = f"P{pid:04d}T01A{pid:02d}C{i % 3}F{i:03d}.jpg"
+            _write_img(osp.join(root, "train_all", f"{pid:04d}", name), seed)
+            seed += 1
+    for pid in range(n_ids + 1, n_ids * 2 + 1):
+        for i in range(imgs):
+            name = f"P{pid:04d}T01A{pid:02d}C{i % 3}F{i:03d}.jpg"
+            rel_q = f"query/{name}"
+            rel_g = f"gallery/{name}"
+            _write_img(osp.join(root, rel_q), seed)
+            seed += 1
+            _write_img(osp.join(root, rel_g), seed)
+            seed += 1
+            query_lines.append(rel_q)
+            gallery_lines.append(rel_g)
+    with open(osp.join(root, f"{exp_setting}.txt"), "w") as f:
+        f.write("\n".join(query_lines + gallery_lines) + "\n")
+    return root
+
+
 def make_vehicleid(root: str, n_train_ids: int = 13164, n_test_ids: int = 800):
     """VehicleID layout (full-size id lists, tiny image count).
 

@@ -99,7 +99,11 @@ def do_train(
         lr = scheduler(epoch)
 
         n_iter = -1
+        profiling = False
         for n_iter, batch in enumerate(train_loader.epoch(epoch)):
+            if cfg.TPU.PROFILE_DIR and epoch == 1 and n_iter == 1:
+                jax.profiler.start_trace(cfg.TPU.PROFILE_DIR)
+                profiling = True
             key, step_key = jax.random.split(key)
             state, metrics = train_step(
                 state,
@@ -109,6 +113,11 @@ def do_train(
             )
             loss_meter.update(float(metrics["loss"]), batch["images"].shape[0])
             acc_meter.update(float(metrics["acc"]), 1)
+            if profiling and n_iter == cfg.TPU.PROFILE_STEPS:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info(f"Wrote profiler trace to {cfg.TPU.PROFILE_DIR}")
             if (n_iter + 1) % log_period == 0:
                 logger.info(
                     "Epoch[{}] Iteration[{}/{}] Loss: {:.3f}, Acc: {:.3f}, Base Lr: {:.2e}".format(
@@ -116,6 +125,8 @@ def do_train(
                         acc_meter.avg, lr,
                     )
                 )
+        if profiling:
+            jax.profiler.stop_trace()
         if n_iter < 0:
             raise RuntimeError("empty training epoch — dataset smaller than one batch")
 

@@ -46,6 +46,9 @@ class CLIPConfig:
     moe_layers: int = 0
     dropout: float = 0.0
     shared_routing: bool = True
+    # LoRA adapters on attention projections (0 = disabled)
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @property
     def is_vit(self) -> bool:
@@ -85,6 +88,8 @@ def make_visual_tower(cfg: CLIPConfig, dtype=jnp.float32, remat: bool = False):
             shared_routing=cfg.shared_routing,
             dtype=dtype,
             remat=remat,
+            lora_rank=cfg.lora_rank,
+            lora_alpha=cfg.lora_alpha,
             name="visual",
         )
     return ModifiedResNet(
@@ -107,6 +112,8 @@ def make_text_tower(cfg: CLIPConfig, dtype=jnp.float32):
         layers=cfg.transformer_layers,
         embed_dim=cfg.embed_dim,
         dtype=dtype,
+        lora_rank=cfg.lora_rank,
+        lora_alpha=cfg.lora_alpha,
         name="text",
     )
 

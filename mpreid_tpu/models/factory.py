@@ -40,6 +40,8 @@ def clip_config_from_cfg(cfg) -> CLIPConfig:
         moe_layers=moe.MOE_LAYERS if moe.ENABLED else 0,
         dropout=moe.DROPOUT,
         shared_routing=moe.SHARED_ROUTING,
+        lora_rank=cfg.SOLVER.LORA.LORA_R if cfg.SOLVER.LORA.ENABLED else 0,
+        lora_alpha=float(cfg.SOLVER.LORA.LORA_ALPHA),
     )
 
 
@@ -130,6 +132,8 @@ def switch_to_moe(cfg, model, variables) -> Tuple[Any, Dict[str, Any]]:
         moe_layers=moe.MOE_LAYERS,
         dropout=moe.DROPOUT,
         shared_routing=moe.SHARED_ROUTING,
+        lora_rank=cfg.SOLVER.LORA.LORA_R if cfg.SOLVER.LORA.ENABLED else 0,
+        lora_alpha=float(cfg.SOLVER.LORA.LORA_ALPHA),
     )
     new_model = _dc.replace(model, clip_config=new_clip)
     new_vars = init_variables(new_model, jax.random.PRNGKey(0), cfg)

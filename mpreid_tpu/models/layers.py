@@ -52,11 +52,18 @@ class MultiHeadAttention(nn.Module):
     Parameters: ``in_proj`` kernel of shape (d, 3d) and bias (3d,) packed as
     [q | k | v] along the output axis, plus ``out_proj`` dense — matching the
     reference checkpoint layout for 1:1 weight conversion.
+
+    With ``lora_rank > 0`` a low-rank adapter ΔW = A·B·(α/r) is added to the
+    QKV projection (frozen base + trained adapter — the working version of
+    the reference's dormant SOLVER.LORA block, ref defaults.py:274-308,
+    make_optimizer_prompt.py:154-209).
     """
 
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
@@ -74,6 +81,22 @@ class MultiHeadAttention(nn.Module):
             jnp.dot(x, in_kernel.astype(self.dtype), preferred_element_type=jnp.float32)
             + in_bias
         ).astype(self.dtype)
+        if self.lora_rank > 0:
+            lora_a = self.param(
+                "lora_a", nn.initializers.normal(stddev=0.02),
+                (d, self.lora_rank), jnp.float32,
+            )
+            lora_b = self.param(
+                "lora_b", nn.initializers.zeros, (self.lora_rank, 3 * d), jnp.float32
+            )
+            scale = self.lora_alpha / self.lora_rank
+            delta = jnp.dot(
+                jnp.dot(x, lora_a.astype(self.dtype),
+                        preferred_element_type=jnp.float32).astype(self.dtype),
+                lora_b.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            qkv = qkv + (scale * delta).astype(self.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -129,10 +152,15 @@ class ResidualAttentionBlock(nn.Module):
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
-        x = x + MultiHeadAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
+        x = x + MultiHeadAttention(
+            self.dim, self.num_heads, dtype=self.dtype,
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, name="attn",
+        )(
             LayerNorm(self.dim, name="ln_1")(x), mask
         )
         x = x + MLP(self.dim, dtype=self.dtype, name="mlp")(

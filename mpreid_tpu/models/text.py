@@ -37,6 +37,8 @@ class TextTransformer(nn.Module):
     layers: int
     embed_dim: int
     dtype: jnp.dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     def setup(self):
         self.token_embedding = nn.Embed(
@@ -54,7 +56,9 @@ class TextTransformer(nn.Module):
         )
         self.resblocks = [
             ResidualAttentionBlock(
-                self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}"
+                self.width, self.heads, dtype=self.dtype,
+                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                name=f"resblocks_{i}",
             )
             for i in range(self.layers)
         ]

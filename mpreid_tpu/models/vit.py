@@ -48,6 +48,8 @@ class VisionTransformer(nn.Module):
     shared_routing: bool = True
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @property
     def use_moe(self) -> bool:
@@ -118,14 +120,20 @@ class VisionTransformer(nn.Module):
                     if self.shared_routing:
                         routing = combine_i
             for i in range(n_moe, self.layers):
-                x = block_cls(w, self.heads, dtype=self.dtype, name=f"resblocks_{i}")(x)
+                x = block_cls(w, self.heads, dtype=self.dtype,
+                              lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                              name=f"resblocks_{i}")(x)
             x11 = x12 = x  # ref model.py:450-454
         else:
             for i in range(self.layers - 1):
-                x = block_cls(w, self.heads, dtype=self.dtype, name=f"resblocks_{i}")(x)
+                x = block_cls(w, self.heads, dtype=self.dtype,
+                              lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                              name=f"resblocks_{i}")(x)
             x11 = x
             x12 = block_cls(
-                w, self.heads, dtype=self.dtype, name=f"resblocks_{self.layers - 1}"
+                w, self.heads, dtype=self.dtype,
+                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                name=f"resblocks_{self.layers - 1}"
             )(x11)
 
         x12 = LayerNorm(w, name="ln_post")(x12)

@@ -78,6 +78,8 @@ def stage_trainable(params, stage: str) -> Any:
             return name.endswith("ctx_generic")
         if stage == "stage1b":
             return name.endswith("ctx_modality") or name.endswith("ctx_platform")
+        if stage == "lora":
+            return "lora" in name.split("/")[-1]
         if stage == "stage2a":
             parts = name.split("/")
             if parts[0] == "text" or "expert" in name or parts[0] == "prompt_learner":
