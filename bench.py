@@ -47,24 +47,32 @@ def main():
     variables = init_variables(model, jax.random.PRNGKey(0), cfg)
 
     # ---- stage-1a prompt-training throughput ----
+    # Uses the production epoch path: the whole window runs as ONE compiled
+    # scan over the device-resident feature bank (engine.steps.make_stage1_epoch),
+    # exactly how do_train_stage1 executes an epoch.
+    from mpreid_tpu.engine.steps import make_stage1_epoch
+
     optimizer = make_optimizer(cfg.SOLVER.STAGE1A, variables["params"], stage="stage1a")
-    step = make_stage1_step(model, cfg, optimizer, stage="1a")
+    epoch_fn = make_stage1_epoch(model, cfg, optimizer, stage="1a")
     state = initial_state(variables, optimizer)
 
+    iters = 50  # the reference's measured window is 50 iters
     rng = np.random.RandomState(0)
-    feats = jnp.asarray(rng.randn(batch, embed_dim).astype(np.float32))
-    labels = jnp.asarray(rng.randint(0, num_classes, batch).astype(np.int32))
+    bank = jnp.asarray(rng.randn(iters * batch, embed_dim).astype(np.float32))
+    bank_labels = jnp.asarray(
+        rng.randint(0, num_classes, iters * batch).astype(np.int32)
+    )
+    bank_views = jnp.zeros(iters * batch, jnp.int32)
+    perm = jnp.arange(iters * batch).reshape(iters, batch)
 
     # warmup / compile. NOTE: under the remote TPU runtime block_until_ready
-    # on a scalar does not reliably synchronize — fetch the value instead.
-    state, m = step(state, feats, labels, None, 3.5e-4)
-    _ = float(m["loss"])
+    # on a scalar does not reliably synchronize — fetch values instead.
+    state_w, losses = epoch_fn(state, bank, bank_labels, bank_views, perm, 3.5e-4)
+    _ = float(jnp.sum(losses))
 
-    iters = 50  # the reference's measured window is 50 iters
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, feats, labels, None, 3.5e-4)
-    _ = float(m["loss"])
+    state, losses = epoch_fn(state, bank, bank_labels, bank_views, perm, 3.5e-4)
+    _ = float(jnp.sum(losses))
     _ = float(jnp.sum(jax.tree_util.tree_leaves(state.params)[0]))
     dt = time.perf_counter() - t0
     img_per_sec = iters * batch / dt

@@ -3,6 +3,7 @@ from .processor import do_inference, do_train, run_validation
 from .steps import (
     make_eval_step,
     make_image_bank_step,
+    make_stage1_epoch,
     make_stage1_step,
     make_text_step,
     make_train_step,

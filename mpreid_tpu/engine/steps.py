@@ -170,35 +170,90 @@ def make_text_step(model, stage: str):
     return step
 
 
+def _stage1_step_impl(model, optimizer, stage: str, state: TrainState,
+                      image_feats, target, views, lr):
+    train_params, frozen_params = optimizer.partition(state.params)
+
+    def inner(train_sub):
+        params = optimizer.merge(train_sub, frozen_params)
+        text_feats = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            target, views, stage,
+            method=UniPromptReID.get_text,
+        )
+        loss_i2t = supcon_loss(image_feats, text_feats, target, target)
+        loss_t2i = supcon_loss(text_feats, image_feats, target, target)
+        return loss_i2t + loss_t2i
+
+    loss, grads = jax.value_and_grad(inner)(train_params)
+    new_train, new_opt = optimizer.update(grads, state.opt_state, train_params, lr)
+    return (
+        TrainState(
+            params=optimizer.merge(new_train, frozen_params),
+            batch_stats=state.batch_stats,
+            opt_state=new_opt,
+            centers=state.centers,
+        ),
+        {"loss": loss},
+    )
+
+
 def make_stage1_step(model, cfg, optimizer, stage: str):
     """Prompt-context training step (ref processor_uniprompt_stage1.py:72-98):
     SupCon(i2t) + SupCon(t2i) against a precomputed image-feature bank."""
 
     @jax.jit
     def step(state: TrainState, image_feats, target, views, lr):
-        train_params, frozen_params = optimizer.partition(state.params)
-
-        def inner(train_sub):
-            params = optimizer.merge(train_sub, frozen_params)
-            text_feats = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                target, views, stage,
-                method=UniPromptReID.get_text,
-            )
-            loss_i2t = supcon_loss(image_feats, text_feats, target, target)
-            loss_t2i = supcon_loss(text_feats, image_feats, target, target)
-            return loss_i2t + loss_t2i
-
-        loss, grads = jax.value_and_grad(inner)(train_params)
-        new_train, new_opt = optimizer.update(grads, state.opt_state, train_params, lr)
-        return (
-            TrainState(
-                params=optimizer.merge(new_train, frozen_params),
-                batch_stats=state.batch_stats,
-                opt_state=new_opt,
-                centers=state.centers,
-            ),
-            {"loss": loss},
-        )
+        return _stage1_step_impl(model, optimizer, stage, state,
+                                 image_feats, target, views, lr)
 
     return step
+
+
+def make_stage1_epoch(model, cfg, optimizer, stage: str):
+    """Whole stage-1 epoch as ONE compiled scan.
+
+    The image-feature bank is device-resident, so an epoch needs no host
+    round-trips at all: scan over the permuted batch indices, one optimizer
+    step per batch. Only the trainable partition + optimizer moments ride
+    the scan carry — the frozen 150M-param tree is a loop invariant, so the
+    carry is a few MB instead of the full model. Returns
+    (state, per-batch losses).
+    """
+
+    @jax.jit
+    def epoch(state: TrainState, feats_bank, labels_bank, views_bank, perm, lr):
+        train0, frozen = optimizer.partition(state.params)
+
+        def body(carry, idx):
+            train_sub, opt_state = carry
+            f = jnp.take(feats_bank, idx, axis=0)
+            t = jnp.take(labels_bank, idx, axis=0)
+            vw = jnp.take(views_bank, idx, axis=0) if stage == "1b" else None
+
+            def inner(ts):
+                params = optimizer.merge(ts, frozen)
+                text_feats = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    t, vw, stage, method=UniPromptReID.get_text,
+                )
+                return supcon_loss(f, text_feats, t, t) + supcon_loss(
+                    text_feats, f, t, t
+                )
+
+            loss, grads = jax.value_and_grad(inner)(train_sub)
+            new_train, new_opt = optimizer.update(grads, opt_state, train_sub, lr)
+            return (new_train, new_opt), loss
+
+        (train_f, opt_f), losses = jax.lax.scan(
+            body, (train0, state.opt_state), perm
+        )
+        new_state = TrainState(
+            params=optimizer.merge(train_f, frozen),
+            batch_stats=state.batch_stats,
+            opt_state=opt_f,
+            centers=state.centers,
+        )
+        return new_state, losses
+
+    return epoch

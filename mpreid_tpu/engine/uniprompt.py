@@ -28,6 +28,7 @@ from mpreid_tpu.utils.meter import AverageMeter
 from .processor import run_validation
 from .steps import (
     make_image_bank_step,
+    make_stage1_epoch,
     make_stage1_step,
     make_text_step,
     make_train_step,
@@ -82,6 +83,7 @@ def do_train_stage1(
     views_bank = jnp.asarray(views_bank)
 
     step_fn = make_stage1_step(model, cfg, optimizer, stage=stage)
+    epoch_fn = make_stage1_epoch(model, cfg, optimizer, stage=stage)
     state = initial_state(variables, optimizer)
 
     batch = stage_cfg.IMS_PER_BATCH
@@ -95,11 +97,25 @@ def do_train_stage1(
         loss_meter.reset()
         lr = scheduler(epoch)
         perm = rng.permutation(num_image)
-        for i in range(i_ter + 1):
-            sel = perm[i * batch : min((i + 1) * batch, num_image)]
-            if len(sel) == 0:
-                continue
-            sel = jnp.asarray(sel)
+        # full batches run as one compiled scan (no host round-trips) ...
+        if i_ter > 0:
+            idx = jnp.asarray(perm[: i_ter * batch].reshape(i_ter, batch))
+            state, losses = epoch_fn(
+                state, feats_bank, labels_bank, views_bank, idx, lr
+            )
+            losses = np.asarray(losses)
+            for i in range(i_ter):
+                loss_meter.update(float(losses[i]), batch)
+                if (i + 1) % stage_cfg.LOG_PERIOD == 0:
+                    logger.info(
+                        "Epoch[{}] Iteration[{}/{}] Loss: {:.3f}, Base Lr: {:.2e}".format(
+                            epoch, i + 1, i_ter + 1, loss_meter.avg, lr
+                        )
+                    )
+        # ... the trailing partial batch runs through the single-step fn
+        rest = perm[i_ter * batch :]
+        if len(rest):
+            sel = jnp.asarray(rest)
             state, metrics = step_fn(
                 state,
                 feats_bank[sel],
@@ -107,13 +123,7 @@ def do_train_stage1(
                 views_bank[sel] if is_stage1b else None,
                 lr,
             )
-            loss_meter.update(float(metrics["loss"]), len(sel))
-            if (i + 1) % stage_cfg.LOG_PERIOD == 0:
-                logger.info(
-                    "Epoch[{}] Iteration[{}/{}] Loss: {:.3f}, Base Lr: {:.2e}".format(
-                        epoch, i + 1, i_ter + 1, loss_meter.avg, lr
-                    )
-                )
+            loss_meter.update(float(metrics["loss"]), len(rest))
         history.append({"epoch": epoch, "loss": loss_meter.avg})
         if cfg.OUTPUT_DIR and epoch % stage_cfg.CHECKPOINT_PERIOD == 0:
             save_checkpoint(
