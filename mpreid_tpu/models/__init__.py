@@ -23,3 +23,4 @@ from .text import TextTransformer
 from .tokenizer import tokenize, get_tokenizer
 from .uniprompt import PromptLearner, UniPromptReID
 from .vit import VisionTransformer, resize_pos_embed
+from .convert import apply_overlay, convert_reid_state_dict, load_param

@@ -1,0 +1,237 @@
+"""Import trained reference (PyTorch) ReID checkpoints.
+
+The reference saves raw ``model.state_dict()`` of its ``build_transformer``
+models (ref ``processor/processor.py:107-114``), loaded back by name with a
+``module.`` prefix strip (ref ``make_model.py:118-122``). This module maps
+those key layouts onto our flax variable tree so a reference-trained
+checkpoint can be evaluated (or fine-tuned) here directly:
+
+  * ``image_encoder.*``      → params['visual']  (CLIP visual mapping)
+  * ``text_encoder.*``       → params['text']    (transformer + ln_final + proj)
+  * ``bottleneck[_proj].*``  → BNNeck params + batch_stats
+  * ``classifier[_proj].*``  → dense kernels (transposed)
+  * ``prompt_learner.*``     → prompt contexts + visual-enhanced net
+  * ``cv_embed`` / ``visual_prompt`` / ``image_fusion_net.*``
+  * MoE expert lists         → stacked expert tensors + gate kernels
+
+Not mapped (recomputed here): ``prompt_learner.token_prefix/token_suffix``
+buffers — we re-embed the template from ``token_embedding``, so load CLIP
+weights first, then overlay the trained checkpoint on top.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from .clip_model import _convert_block, _convert_resnet_visual, _convert_vit_visual, _np
+
+
+def _strip_module(sd: Dict[str, Any]) -> Dict[str, Any]:
+    return {k.replace("module.", "", 1) if k.startswith("module.") else k: v
+            for k, v in sd.items()}
+
+
+def _subdict(sd: Dict[str, Any], prefix: str, rename: str = "") -> Dict[str, Any]:
+    plen = len(prefix)
+    return {rename + k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def _bn(sd, prefix) -> Tuple[Dict, Dict]:
+    params = {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+    stats = {"mean": _np(sd[f"{prefix}.running_mean"]),
+             "var": _np(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def _convert_visual_subtree(sd: Dict[str, Any], clip_config) -> Tuple[Dict, Dict]:
+    """image_encoder.* keys → visual param/stats subtrees."""
+    vis_sd = _subdict(sd, "image_encoder.", rename="visual.")
+    if clip_config.is_vit:
+        n_moe = 0
+        if clip_config.num_experts > 0 and clip_config.top_k > 0:
+            n_moe = (clip_config.vision_layers if clip_config.moe_layers == -1
+                     else min(clip_config.moe_layers, clip_config.vision_layers))
+        if n_moe == 0:
+            return _convert_vit_visual_trained(vis_sd, clip_config)
+        return _convert_vit_moe_trained(vis_sd, clip_config, n_moe)
+    return _convert_resnet_visual(vis_sd, clip_config)
+
+
+def _convert_vit_visual_trained(vis_sd, cfg) -> Tuple[Dict, Dict]:
+    params = {
+        "conv1": {"kernel": _np(vis_sd["visual.conv1.weight"]).transpose(2, 3, 1, 0)},
+        "class_embedding": _np(vis_sd["visual.class_embedding"]),
+        # trained checkpoints already carry the resized grid — no resize
+        "positional_embedding": _np(vis_sd["visual.positional_embedding"]),
+        "ln_pre": {"scale": _np(vis_sd["visual.ln_pre.weight"]),
+                   "bias": _np(vis_sd["visual.ln_pre.bias"])},
+        "ln_post": {"scale": _np(vis_sd["visual.ln_post.weight"]),
+                    "bias": _np(vis_sd["visual.ln_post.bias"])},
+        "proj": _np(vis_sd["visual.proj"]),
+    }
+    for i in range(cfg.vision_layers):
+        params[f"resblocks_{i}"] = _convert_block(
+            vis_sd, f"visual.transformer.resblocks.{i}"
+        )
+    return params, {}
+
+
+def _convert_vit_moe_trained(vis_sd, cfg, n_moe) -> Tuple[Dict, Dict]:
+    params, _ = _convert_vit_visual_trained_moe_base(vis_sd, cfg)
+    e = cfg.num_experts
+    for i in range(n_moe):
+        prefix = f"visual.transformer.resblocks.{i}"
+        block = {
+            "attn": {
+                "in_proj_kernel": _np(vis_sd[f"{prefix}.attn.in_proj_weight"]).T,
+                "in_proj_bias": _np(vis_sd[f"{prefix}.attn.in_proj_bias"]),
+                "out_proj_kernel": _np(vis_sd[f"{prefix}.attn.out_proj.weight"]).T,
+                "out_proj_bias": _np(vis_sd[f"{prefix}.attn.out_proj.bias"]),
+            },
+            "ln_1": {"scale": _np(vis_sd[f"{prefix}.ln_1.weight"]),
+                     "bias": _np(vis_sd[f"{prefix}.ln_1.bias"])},
+            "ln_2": {"scale": _np(vis_sd[f"{prefix}.ln_2.weight"]),
+                     "bias": _np(vis_sd[f"{prefix}.ln_2.bias"])},
+            "gate_kernel": _np(vis_sd[f"{prefix}.gate.weight"]).T,
+            "experts": {
+                "c_fc_kernel": np.stack([
+                    _np(vis_sd[f"{prefix}.experts.{m}.c_fc.weight"]).T for m in range(e)
+                ]),
+                "c_fc_bias": np.stack([
+                    _np(vis_sd[f"{prefix}.experts.{m}.c_fc.bias"]) for m in range(e)
+                ]),
+                "c_proj_kernel": np.stack([
+                    _np(vis_sd[f"{prefix}.experts.{m}.c_proj.weight"]).T for m in range(e)
+                ]),
+                "c_proj_bias": np.stack([
+                    _np(vis_sd[f"{prefix}.experts.{m}.c_proj.bias"]) for m in range(e)
+                ]),
+            },
+        }
+        params[f"moe_resblocks_{i}"] = block
+    return params, {}
+
+
+def _convert_vit_visual_trained_moe_base(vis_sd, cfg):
+    """Shared non-MoE parts for the MoE-trained layout."""
+    params = {
+        "conv1": {"kernel": _np(vis_sd["visual.conv1.weight"]).transpose(2, 3, 1, 0)},
+        "class_embedding": _np(vis_sd["visual.class_embedding"]),
+        "positional_embedding": _np(vis_sd["visual.positional_embedding"]),
+        "ln_pre": {"scale": _np(vis_sd["visual.ln_pre.weight"]),
+                   "bias": _np(vis_sd["visual.ln_pre.bias"])},
+        "ln_post": {"scale": _np(vis_sd["visual.ln_post.weight"]),
+                    "bias": _np(vis_sd["visual.ln_post.bias"])},
+        "proj": _np(vis_sd["visual.proj"]),
+    }
+    n_moe = (cfg.vision_layers if cfg.moe_layers == -1
+             else min(cfg.moe_layers, cfg.vision_layers))
+    for i in range(n_moe, cfg.vision_layers):
+        params[f"resblocks_{i}"] = _convert_block(
+            vis_sd, f"visual.transformer.resblocks.{i}"
+        )
+    return params, {}
+
+
+def convert_reid_state_dict(sd: Dict[str, Any], model) -> Dict[str, Any]:
+    """torch ReID state_dict → overlay for our variable tree.
+
+    ``model`` is the target ReIDModel/UniPromptReID (for clip_config / dims).
+    Returns {'params': ..., 'batch_stats': ...} with only the keys present
+    in the checkpoint; merge over existing variables with ``apply_overlay``.
+    """
+    sd = _strip_module(sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    if any(k.startswith("image_encoder.") for k in sd):
+        vp, vs = _convert_visual_subtree(sd, model.clip_config)
+        params["visual"] = vp
+        if vs:
+            stats["visual"] = vs
+
+    for name in ("bottleneck", "bottleneck_proj"):
+        if f"{name}.weight" in sd:
+            p, s = _bn(sd, name)
+            params[name] = p
+            stats[name] = s
+
+    for name in ("classifier", "classifier_proj"):
+        if f"{name}.weight" in sd:
+            params[name] = {"kernel": _np(sd[f"{name}.weight"]).T}
+
+    if "cv_embed" in sd:
+        params["cv_embed"] = _np(sd["cv_embed"])
+    if "visual_prompt" in sd:
+        params["visual_prompt"] = _np(sd["visual_prompt"])
+
+    if "image_fusion_net.fc1.weight" in sd:
+        params["fusion_fc1"] = {"kernel": _np(sd["image_fusion_net.fc1.weight"]).T,
+                                "bias": _np(sd["image_fusion_net.fc1.bias"])}
+        params["fusion_fc2"] = {"kernel": _np(sd["image_fusion_net.fc2.weight"]).T,
+                                "bias": _np(sd["image_fusion_net.fc2.bias"])}
+
+    if "prompt_learner.ctx_generic" in sd:
+        pl = {
+            "ctx_generic": _np(sd["prompt_learner.ctx_generic"]),
+            "ctx_modality": _np(sd["prompt_learner.ctx_modality"]),
+            "ctx_platform": _np(sd["prompt_learner.ctx_platform"]),
+        }
+        ve1 = "prompt_learner.visual_enhanced_net.linear1.weight"
+        if ve1 in sd:
+            pl["ve_linear1"] = {"kernel": _np(sd[ve1]).T,
+                                "bias": _np(sd[ve1.replace("weight", "bias")])}
+            ve2 = "prompt_learner.visual_enhanced_net.linear2.weight"
+            pl["ve_linear2"] = {"kernel": _np(sd[ve2]).T,
+                                "bias": _np(sd[ve2.replace("weight", "bias")])}
+        params["prompt_learner"] = pl
+
+    if any(k.startswith("text_encoder.") for k in sd):
+        text: Dict[str, Any] = {
+            "positional_embedding": _np(sd["text_encoder.positional_embedding"]),
+            "ln_final": {"scale": _np(sd["text_encoder.ln_final.weight"]),
+                         "bias": _np(sd["text_encoder.ln_final.bias"])},
+            "text_projection": _np(sd["text_encoder.text_projection"]),
+        }
+        for i in range(model.clip_config.transformer_layers):
+            text[f"resblocks_{i}"] = _convert_block(
+                sd, f"text_encoder.transformer.resblocks.{i}"
+            )
+        params["text"] = text
+
+    out: Dict[str, Any] = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def apply_overlay(variables: Dict[str, Any], overlay: Dict[str, Any]) -> Dict[str, Any]:
+    """Deep-merge an overlay into a variable tree (ref load_param semantics:
+    copy by name, leave everything else)."""
+    import copy
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                merge(dst[k], v)
+            else:
+                dst[k] = v
+
+    import flax
+
+    out = flax.core.unfreeze(copy.deepcopy(dict(variables)))
+    for coll, sub in overlay.items():
+        out.setdefault(coll, {})
+        merge(out[coll], sub)
+    return out
+
+
+def load_param(path: str, model, variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Load a trained reference ``.pth`` into our variables
+    (ref make_model.py:118-122)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    return apply_overlay(variables, convert_reid_state_dict(sd, model))

@@ -52,7 +52,13 @@ def main():
                        view_num=view_num)
     variables = init_variables(model, jax.random.PRNGKey(0), cfg)
     if cfg.TEST.WEIGHT:
-        variables = load_weights(cfg.TEST.WEIGHT, variables)
+        if cfg.TEST.WEIGHT.endswith((".pth", ".pt")):
+            # trained reference (torch) checkpoint
+            from mpreid_tpu.models.convert import load_param
+
+            variables = load_param(cfg.TEST.WEIGHT, model, variables)
+        else:
+            variables = load_weights(cfg.TEST.WEIGHT, variables)
         logger.info(f"Loading pretrained model from {cfg.TEST.WEIGHT}")
 
     if cfg.DATASETS.NAMES == "VehicleID":

@@ -47,7 +47,13 @@ def main():
     if cfg.MODEL.MOE.ENABLED:
         model, variables = switch_to_moe(cfg, model, variables)
     if cfg.TEST.WEIGHT:
-        variables = load_weights(cfg.TEST.WEIGHT, variables)
+        if cfg.TEST.WEIGHT.endswith((".pth", ".pt")):
+            # trained reference (torch) checkpoint
+            from mpreid_tpu.models.convert import load_param
+
+            variables = load_param(cfg.TEST.WEIGHT, model, variables)
+        else:
+            variables = load_weights(cfg.TEST.WEIGHT, variables)
         logger.info(f"Loading pretrained model from {cfg.TEST.WEIGHT}")
 
     if cfg.TEST.TTPT.ENABLED or cfg.TEST.TTA_ENABLED:

@@ -1,0 +1,141 @@
+"""Round-trip test for the trained-reference-checkpoint importer.
+
+Builds a torch-layout state_dict *from* our model's variables via the
+inverse mapping, runs the converter, and requires the result to reproduce
+the original variables exactly — validating every transpose/rename.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from mpreid_tpu.models.convert import apply_overlay, convert_reid_state_dict
+
+from tiny import tiny_cfg, tiny_model
+
+
+def torch_layout_from_variables(v, uniprompt: bool):
+    """Inverse mapping: our variables → reference state_dict key layout."""
+    p = v["params"]
+    bs = v["batch_stats"]
+    sd = {}
+
+    def put_block(prefix, blk):
+        sd[f"{prefix}.attn.in_proj_weight"] = np.asarray(blk["attn"]["in_proj_kernel"]).T
+        sd[f"{prefix}.attn.in_proj_bias"] = np.asarray(blk["attn"]["in_proj_bias"])
+        sd[f"{prefix}.attn.out_proj.weight"] = np.asarray(blk["attn"]["out_proj_kernel"]).T
+        sd[f"{prefix}.attn.out_proj.bias"] = np.asarray(blk["attn"]["out_proj_bias"])
+        for ln in ("ln_1", "ln_2"):
+            sd[f"{prefix}.{ln}.weight"] = np.asarray(blk[ln]["scale"])
+            sd[f"{prefix}.{ln}.bias"] = np.asarray(blk[ln]["bias"])
+        sd[f"{prefix}.mlp.c_fc.weight"] = np.asarray(blk["mlp"]["c_fc"]["kernel"]).T
+        sd[f"{prefix}.mlp.c_fc.bias"] = np.asarray(blk["mlp"]["c_fc"]["bias"])
+        sd[f"{prefix}.mlp.c_proj.weight"] = np.asarray(blk["mlp"]["c_proj"]["kernel"]).T
+        sd[f"{prefix}.mlp.c_proj.bias"] = np.asarray(blk["mlp"]["c_proj"]["bias"])
+
+    vis = p["visual"]
+    sd["image_encoder.conv1.weight"] = np.asarray(vis["conv1"]["kernel"]).transpose(3, 2, 0, 1)
+    sd["image_encoder.class_embedding"] = np.asarray(vis["class_embedding"])
+    sd["image_encoder.positional_embedding"] = np.asarray(vis["positional_embedding"])
+    for ln in ("ln_pre", "ln_post"):
+        sd[f"image_encoder.{ln}.weight"] = np.asarray(vis[ln]["scale"])
+        sd[f"image_encoder.{ln}.bias"] = np.asarray(vis[ln]["bias"])
+    sd["image_encoder.proj"] = np.asarray(vis["proj"])
+    i = 0
+    while f"resblocks_{i}" in vis:
+        put_block(f"image_encoder.transformer.resblocks.{i}", vis[f"resblocks_{i}"])
+        i += 1
+
+    for name in ("bottleneck", "bottleneck_proj"):
+        sd[f"{name}.weight"] = np.asarray(p[name]["scale"])
+        sd[f"{name}.bias"] = np.asarray(p[name]["bias"])
+        sd[f"{name}.running_mean"] = np.asarray(bs[name]["mean"])
+        sd[f"{name}.running_var"] = np.asarray(bs[name]["var"])
+    for name in ("classifier", "classifier_proj"):
+        sd[f"{name}.weight"] = np.asarray(p[name]["kernel"]).T
+
+    if uniprompt:
+        pl = p["prompt_learner"]
+        sd["prompt_learner.ctx_generic"] = np.asarray(pl["ctx_generic"])
+        sd["prompt_learner.ctx_modality"] = np.asarray(pl["ctx_modality"])
+        sd["prompt_learner.ctx_platform"] = np.asarray(pl["ctx_platform"])
+        sd["prompt_learner.visual_enhanced_net.linear1.weight"] = np.asarray(
+            pl["ve_linear1"]["kernel"]).T
+        sd["prompt_learner.visual_enhanced_net.linear1.bias"] = np.asarray(
+            pl["ve_linear1"]["bias"])
+        sd["prompt_learner.visual_enhanced_net.linear2.weight"] = np.asarray(
+            pl["ve_linear2"]["kernel"]).T
+        sd["prompt_learner.visual_enhanced_net.linear2.bias"] = np.asarray(
+            pl["ve_linear2"]["bias"])
+        sd["visual_prompt"] = np.asarray(p["visual_prompt"])
+        sd["image_fusion_net.fc1.weight"] = np.asarray(p["fusion_fc1"]["kernel"]).T
+        sd["image_fusion_net.fc1.bias"] = np.asarray(p["fusion_fc1"]["bias"])
+        sd["image_fusion_net.fc2.weight"] = np.asarray(p["fusion_fc2"]["kernel"]).T
+        sd["image_fusion_net.fc2.bias"] = np.asarray(p["fusion_fc2"]["bias"])
+        txt = p["text"]
+        sd["text_encoder.positional_embedding"] = np.asarray(txt["positional_embedding"])
+        sd["text_encoder.ln_final.weight"] = np.asarray(txt["ln_final"]["scale"])
+        sd["text_encoder.ln_final.bias"] = np.asarray(txt["ln_final"]["bias"])
+        sd["text_encoder.text_projection"] = np.asarray(txt["text_projection"])
+        i = 0
+        while f"resblocks_{i}" in txt:
+            put_block(f"text_encoder.transformer.resblocks.{i}", txt[f"resblocks_{i}"])
+            i += 1
+    return sd
+
+
+def _assert_subtree_close(got, want, path=""):
+    if isinstance(want, dict):
+        for k in want:
+            _assert_subtree_close(got[k], want[k], f"{path}/{k}")
+    else:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6,
+                                   err_msg=path)
+
+
+@pytest.mark.parametrize("uniprompt", [False, True])
+def test_roundtrip(uniprompt):
+    cfg = tiny_cfg()
+    model, variables = tiny_model(cfg, num_classes=5, uniprompt=uniprompt)
+    # randomize batch_stats so the BN roundtrip is meaningful
+    import flax, jax.numpy as jnp
+
+    variables = flax.core.unfreeze(variables)
+    for name in ("bottleneck", "bottleneck_proj"):
+        variables["batch_stats"][name]["mean"] = jax.random.normal(
+            jax.random.PRNGKey(1), variables["batch_stats"][name]["mean"].shape)
+
+    sd = torch_layout_from_variables(variables, uniprompt)
+    # simulate DataParallel 'module.' prefixes (ref load_param strips them)
+    sd = {f"module.{k}": v for k, v in sd.items()}
+    overlay = convert_reid_state_dict(sd, model)
+    merged = apply_overlay(
+        {"params": {}, "batch_stats": {}}, overlay
+    )
+    for top, sub in merged["params"].items():
+        if top == "prompt_learner":
+            # template buffers are recomputed, only contexts + VE net mapped
+            for k in sub:
+                _assert_subtree_close(sub[k], variables["params"][top][k], f"{top}/{k}")
+        elif top == "text":
+            for k in sub:
+                _assert_subtree_close(sub[k], variables["params"]["text"][k], f"text/{k}")
+        else:
+            _assert_subtree_close(sub, variables["params"][top], top)
+    for name in ("bottleneck", "bottleneck_proj"):
+        _assert_subtree_close(merged["batch_stats"][name]["mean"],
+                              variables["batch_stats"][name]["mean"], name)
+
+
+def test_overlay_preserves_unmapped(monkeypatch):
+    cfg = tiny_cfg()
+    model, variables = tiny_model(cfg, num_classes=5, uniprompt=True)
+    sd = {"classifier.weight": np.zeros((5, 64), np.float32)}
+    overlay = convert_reid_state_dict(sd, model)
+    merged = apply_overlay(variables, overlay)
+    assert np.all(np.asarray(merged["params"]["classifier"]["kernel"]) == 0)
+    # untouched: token embedding stays as before
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["text"]["token_embedding"]["embedding"]),
+        np.asarray(variables["params"]["text"]["token_embedding"]["embedding"]),
+    )
