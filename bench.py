@@ -110,6 +110,37 @@ def main():
     eval_dt = time.perf_counter() - t0
     feats_per_sec = eval_iters * batch / eval_dt
 
+    # ---- stage-2 fine-tune throughput (full ViT fwd+bwd + losses + Adam) ----
+    from mpreid_tpu.engine.steps import make_train_step
+    from mpreid_tpu.losses import make_loss
+
+    cfg.DATALOADER.SAMPLER = "softmax_triplet"
+    cfg.MODEL.ID_LOSS_WEIGHT = 0.25
+    loss_fn, _unused = make_loss(cfg, num_classes)
+    opt2 = make_optimizer(cfg.SOLVER.STAGE2, variables["params"], stage="stage2a")
+    text_features = jnp.asarray(rng.randn(num_classes, embed_dim).astype(np.float32))
+    step2 = make_train_step(
+        model, cfg, loss_fn, opt2, uniprompt=True, text_features=text_features
+    )
+    state2 = initial_state(variables, opt2)
+    train_batch = {
+        "images": jnp.asarray(rng.randint(0, 255, (batch, 256, 128, 3), dtype=np.uint8)),
+        "pids": jnp.asarray((np.arange(batch) // 4 % num_classes).astype(np.int32)),
+        "camids": jnp.zeros(batch, jnp.int32),
+        "trackids": jnp.zeros(batch, jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+    state2, m2 = step2(state2, train_batch, 5e-6, key)
+    _ = float(m2["loss"])
+    s2_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(s2_iters):
+        state2, m2 = step2(state2, train_batch, 5e-6, key)
+    _ = float(m2["loss"])
+    _ = float(jnp.sum(jax.tree_util.tree_leaves(state2.params)[0]))
+    s2_dt = time.perf_counter() - t0
+    stage2_img_per_sec = s2_iters * batch / s2_dt
+
     print(json.dumps({
         "metric": "stage1a_prompt_train_img_per_sec",
         "value": round(img_per_sec, 1),
@@ -117,6 +148,7 @@ def main():
         "vs_baseline": round(img_per_sec / REFERENCE_STAGE1A_IMG_PER_SEC, 3),
         "extras": {
             "gallery_feats_per_sec_per_chip": round(feats_per_sec, 1),
+            "stage2_train_img_per_sec": round(stage2_img_per_sec, 1),
             "stage1a_sec_per_iter": round(dt / iters, 4),
             "device": str(jax.devices()[0]),
         },

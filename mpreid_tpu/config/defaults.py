@@ -72,6 +72,8 @@ def get_default_cfg() -> CN:
     _C.MODEL.ATT_DROP_RATE = 0.0
     _C.MODEL.TRANSFORMER_TYPE = "None"
     _C.MODEL.STRIDE_SIZE = [16, 16]
+    # Shrink the CLIP towers to a 2-layer/64-wide debug model (CLI smoke runs)
+    _C.MODEL.DEBUG_TINY = False
     # SIE (side-information embedding)
     _C.MODEL.SIE_COE = 3.0
     _C.MODEL.SIE_CAMERA = False
@@ -115,6 +117,10 @@ def get_default_cfg() -> CN:
     _C.SOLVER = CN()
     _C.SOLVER.SEED = 1234
     _C.SOLVER.MARGIN = 0.3
+    # Checkpoint directory to resume a baseline run from (epoch + optimizer
+    # state restored) — capability the reference lacks (save-only ckpts).
+    _C.SOLVER.RESUME = ""
+
     # Baseline (flat) solver fields — reference defaults_base.py:107-162
     _C.SOLVER.OPTIMIZER_NAME = "Adam"
     _C.SOLVER.MAX_EPOCHS = 100

@@ -45,7 +45,13 @@ def run_validation(cfg, model, params, batch_stats, val_loader, num_query,
         })
         n = batch["count"]
         evaluator.update((np.asarray(feat)[:n], batch["pids"][:n], batch["camids"][:n]))
-    cmc, mAP, *_ = evaluator.compute()
+    cmc, mAP, distmat, *_ = evaluator.compute()
+    # the reference names TEST.DIST_MAT but never writes it (SURVEY.md §5) —
+    # here the dump works
+    if getattr(cfg.TEST, "DIST_MAT", "") and cfg.OUTPUT_DIR:
+        import numpy as _np
+
+        _np.save(os.path.join(cfg.OUTPUT_DIR, cfg.TEST.DIST_MAT), distmat)
     if logger:
         tag = f" - Epoch: {epoch}" if epoch is not None else " "
         logger.info(f"Validation Results{tag}")
@@ -86,13 +92,32 @@ def do_train(
         center_lr=solver.CENTER_LR if with_center else None,
     )
     state = initial_state(variables, optimizer, centers=centers if with_center else None)
+    start_epoch = 1
+    if getattr(cfg.SOLVER, "RESUME", ""):
+        from mpreid_tpu.utils.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(cfg.SOLVER.RESUME)
+        from .train_state import TrainState as _TS
+        from mpreid_tpu.solver.optim import OptState as _OS
+
+        state = _TS(
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", {}),
+            opt_state=_OS(*restored["opt_state"]) if isinstance(
+                restored["opt_state"], (list, tuple)) else _OS(
+                restored["opt_state"]["step"], restored["opt_state"]["mu"],
+                restored["opt_state"]["nu"]),
+            centers=restored.get("centers", state.centers),
+        )
+        start_epoch = int(restored["epoch"]) + 1
+        logger.info(f"Resumed from {cfg.SOLVER.RESUME} at epoch {start_epoch}")
 
     loss_meter, acc_meter = AverageMeter(), AverageMeter()
     key = jax.random.PRNGKey(cfg.SOLVER.SEED)
     all_start = time.monotonic()
     history = []
 
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         start_time = time.time()
         loss_meter.reset()
         acc_meter.reset()

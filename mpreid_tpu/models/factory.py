@@ -27,6 +27,11 @@ def clip_config_from_cfg(cfg) -> CLIPConfig:
     if name not in _BASE_CONFIGS:
         raise ValueError(f"Unknown MODEL.NAME {name!r}; expected one of {list(_BASE_CONFIGS)}")
     base = _BASE_CONFIGS[name]
+    if cfg.MODEL.DEBUG_TINY and base.is_vit:
+        base = dataclasses.replace(
+            base, embed_dim=32, vision_layers=2, vision_width=64,
+            transformer_width=64, transformer_heads=1, transformer_layers=2,
+        )
     h_res = int((cfg.INPUT.SIZE_TRAIN[0] - 16) // cfg.MODEL.STRIDE_SIZE[0] + 1)
     w_res = int((cfg.INPUT.SIZE_TRAIN[1] - 16) // cfg.MODEL.STRIDE_SIZE[1] + 1)
     moe = cfg.MODEL.MOE
@@ -124,6 +129,9 @@ def switch_to_moe(cfg, model, variables) -> Tuple[Any, Dict[str, Any]]:
 
     moe = cfg.MODEL.MOE
     if not moe.ENABLED:
+        return model, variables
+    if model.clip_config.num_experts > 0:
+        # already an MoE model — nothing to upcycle
         return model, variables
     new_clip = _dc.replace(
         model.clip_config,

@@ -64,7 +64,12 @@ def main():
     (train_loader_stage2, train_loader_stage1, val_loader, num_query,
      num_classes, camera_num, view_num) = make_dataloader(cfg)
 
-    model = make_model_uniprompt(cfg, num_class=num_classes,
+    # Stage 1 trains against the dense model; the MoE switch (upcycling)
+    # happens after stage 1 — build dense first even when MOE.ENABLED.
+    stage1_cfg = cfg.clone()
+    stage1_cfg.MODEL.MOE.ENABLED = False
+    stage1_cfg.freeze()
+    model = make_model_uniprompt(stage1_cfg, num_class=num_classes,
                                  camera_num=camera_num, view_num=view_num)
     variables = init_variables(model, jax.random.PRNGKey(cfg.SOLVER.SEED), cfg)
     if cfg.MODEL.PRETRAIN_PATH:
