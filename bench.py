@@ -21,6 +21,11 @@ import time
 
 REFERENCE_STAGE1A_IMG_PER_SEC = 945.0  # see module docstring
 
+# Reference utils/reranking.py (NumPy, CPU) measured on this host at
+# Market-1501 protocol scale (Q=3368, G=15913, 512-d clustered features,
+# k1=50, k2=15): 228.5 s. Same data through our TPU fast path below.
+REFERENCE_RERANK_SECONDS = 228.5
+
 
 def main():
     import jax
@@ -141,6 +146,25 @@ def main():
     s2_dt = time.perf_counter() - t0
     stage2_img_per_sec = s2_iters * batch / s2_dt
 
+    # ---- Market-scale k-reciprocal re-ranking wall-clock ----
+    from mpreid_tpu.ops.reranking import re_ranking
+
+    Q, G, D = 3368, 15913, 512
+    n_ids = 750
+    centers = rng.randn(n_ids, D).astype(np.float32)
+    qf = jnp.asarray(
+        (centers[rng.randint(0, n_ids, Q)] + rng.randn(Q, D) * 0.7).astype(np.float32)
+    )
+    gf = jnp.asarray(
+        (centers[rng.randint(0, n_ids, G)] + rng.randn(G, D) * 0.7).astype(np.float32)
+    )
+    d = re_ranking(qf, gf, k1=50, k2=15, fast_minsum=True)
+    _ = float(jnp.sum(d))  # compile + run
+    t0 = time.perf_counter()
+    d = re_ranking(qf, gf, k1=50, k2=15, fast_minsum=True)
+    _ = float(jnp.sum(d))
+    rerank_seconds = time.perf_counter() - t0
+
     print(json.dumps({
         "metric": "stage1a_prompt_train_img_per_sec",
         "value": round(img_per_sec, 1),
@@ -150,6 +174,10 @@ def main():
             "gallery_feats_per_sec_per_chip": round(feats_per_sec, 1),
             "stage2_train_img_per_sec": round(stage2_img_per_sec, 1),
             "stage1a_sec_per_iter": round(dt / iters, 4),
+            "market_scale_rerank_seconds": round(rerank_seconds, 2),
+            "market_scale_rerank_speedup_vs_reference_cpu": round(
+                REFERENCE_RERANK_SECONDS / rerank_seconds, 1
+            ),
             "device": str(jax.devices()[0]),
         },
     }))

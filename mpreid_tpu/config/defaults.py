@@ -175,6 +175,8 @@ def get_default_cfg() -> CN:
     _C.TEST = CN()
     _C.TEST.IMS_PER_BATCH = 128
     _C.TEST.RE_RANKING = False
+    # MXU-quantized Jaccard min-sum for large galleries (ops/reranking.py)
+    _C.TEST.RERANK_FAST = False
     _C.TEST.WEIGHT = ""
     _C.TEST.NECK_FEAT = "after"
     _C.TEST.FEAT_NORM = "yes"

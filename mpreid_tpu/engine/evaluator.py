@@ -33,6 +33,7 @@ class R1mAPEvaluator:
         rerank_k1: int = 50,
         rerank_k2: int = 15,
         rerank_lambda: float = 0.3,
+        rerank_fast: bool = False,
     ):
         self.num_query = num_query
         self.max_rank = max_rank
@@ -40,6 +41,7 @@ class R1mAPEvaluator:
         self.reranking = reranking
         self.camera_filter = camera_filter
         self.rerank_params = (rerank_k1, rerank_k2, rerank_lambda)
+        self.rerank_fast = rerank_fast
         self.reset()
 
     def reset(self):
@@ -69,7 +71,8 @@ class R1mAPEvaluator:
 
         if self.reranking:
             k1, k2, lam = self.rerank_params
-            distmat = re_ranking(qf, gf, k1=k1, k2=k2, lambda_value=lam)
+            distmat = re_ranking(qf, gf, k1=k1, k2=k2, lambda_value=lam,
+                                 fast_minsum=self.rerank_fast)
         else:
             distmat = euclidean_squared_distmat(qf, gf)
 

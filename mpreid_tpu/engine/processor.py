@@ -35,6 +35,7 @@ def run_validation(cfg, model, params, batch_stats, val_loader, num_query,
         feat_norm=cfg.TEST.FEAT_NORM == "yes",
         reranking=cfg.TEST.RE_RANKING,
         camera_filter=cfg.TEST.CAMERA_FILTER,
+        rerank_fast=getattr(cfg.TEST, "RERANK_FAST", False),
     )
     eval_step = make_eval_step(model, cfg)
     for batch in val_loader.iter_sequential():

@@ -124,3 +124,27 @@ def test_reranking_improves_clustered_retrieval():
     d = np.asarray(re_ranking(jnp.asarray(qf), jnp.asarray(gf), k1=5, k2=2))
     for i in range(4):
         assert np.argmin(d[i]) % 4 == i
+
+
+def test_reranking_fast_minsum_metric_equivalent():
+    """MXU-quantized Jaccard: distances differ slightly, metrics match."""
+    from mpreid_tpu.ops.metrics import cmc_map
+
+    rng = np.random.RandomState(7)
+    n_ids = 16
+    centers = rng.randn(n_ids, 24)
+    qf = np.stack([centers[i % n_ids] + rng.randn(24) * 0.9 for i in range(48)]).astype(np.float32)
+    gf = np.stack([centers[i % n_ids] + rng.randn(24) * 0.9 for i in range(160)]).astype(np.float32)
+    q_pids = np.arange(48) % n_ids
+    g_pids = np.arange(160) % n_ids
+    zq, zg = np.zeros(48, np.int64), np.zeros(160, np.int64)
+
+    exact = re_ranking(jnp.asarray(qf), jnp.asarray(gf), k1=16, k2=5)
+    fast = re_ranking(jnp.asarray(qf), jnp.asarray(gf), k1=16, k2=5, fast_minsum=True)
+    assert float(jnp.max(jnp.abs(exact - fast))) < 0.15
+    cmc_e, map_e = cmc_map(exact, jnp.asarray(q_pids), jnp.asarray(g_pids),
+                           jnp.asarray(zq), jnp.asarray(zg))
+    cmc_f, map_f = cmc_map(fast, jnp.asarray(q_pids), jnp.asarray(g_pids),
+                           jnp.asarray(zq), jnp.asarray(zg))
+    assert abs(float(cmc_e[0]) - float(cmc_f[0])) < 0.03
+    assert abs(float(map_e) - float(map_f)) < 0.01
