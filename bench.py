@@ -59,7 +59,9 @@ def main():
 
     optimizer = make_optimizer(cfg.SOLVER.STAGE1A, variables["params"], stage="stage1a")
     epoch_fn = make_stage1_epoch(model, cfg, optimizer, stage="1a")
-    state = initial_state(variables, optimizer)
+    # steps donate their input state — build each benchmark state from a copy
+    fresh = lambda: jax.tree_util.tree_map(jnp.array, variables)
+    state = initial_state(fresh(), optimizer)
 
     iters = 50  # the reference's measured window is 50 iters
     rng = np.random.RandomState(0)
@@ -72,7 +74,8 @@ def main():
 
     # warmup / compile. NOTE: under the remote TPU runtime block_until_ready
     # on a scalar does not reliably synchronize — fetch values instead.
-    state_w, losses = epoch_fn(state, bank, bank_labels, bank_views, perm, 3.5e-4)
+    # epoch_fn donates its input state; thread it through.
+    state, losses = epoch_fn(state, bank, bank_labels, bank_views, perm, 3.5e-4)
     _ = float(jnp.sum(losses))
 
     t0 = time.perf_counter()
@@ -127,7 +130,7 @@ def main():
     step2 = make_train_step(
         model, cfg, loss_fn, opt2, uniprompt=True, text_features=text_features
     )
-    state2 = initial_state(variables, opt2)
+    state2 = initial_state(fresh(), opt2)
     train_batch = {
         "images": jnp.asarray(rng.randint(0, 255, (batch, 256, 128, 3), dtype=np.uint8)),
         "pids": jnp.asarray((np.arange(batch) // 4 % num_classes).astype(np.int32)),

@@ -112,6 +112,8 @@ def get_default_cfg() -> CN:
     _C.DATALOADER.NUM_WORKERS = 8
     _C.DATALOADER.SAMPLER = "softmax"
     _C.DATALOADER.NUM_INSTANCE = 16
+    # Keep decoded uint8 images in RAM after first epoch (small datasets)
+    _C.DATALOADER.CACHE_IMAGES = False
 
     # ----------------------------------------------------------------- SOLVER
     _C.SOLVER = CN()

@@ -58,7 +58,7 @@ class ImageBatcher:
     """Threaded decode of record batches into fixed-size numpy batches."""
 
     def __init__(self, records: Sequence[Record], size_hw, batch_size: int,
-                 num_workers: int = 8):
+                 num_workers: int = 8, cache: bool = False):
         self.records = list(records)
         self.size_hw = tuple(size_hw)
         self.batch_size = batch_size
@@ -67,13 +67,27 @@ class ImageBatcher:
         # tasks would wait on decode tasks queued behind them).
         self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
         self.prefetcher = ThreadPoolExecutor(max_workers=1)
+        # Optional decoded-uint8 cache: each image is decoded exactly once
+        # and kept in RAM (Market-1501 train at 256×128 ≈ 1.2 GB). Removes
+        # the JPEG-decode bottleneck from every epoch after the first.
+        self._cache: Optional[dict] = {} if cache else None
+
+    def _decode(self, rec: Record) -> np.ndarray:
+        if self._cache is not None:
+            hit = self._cache.get(rec[0])
+            if hit is not None:
+                return hit
+        img = decode_resize(rec[0], self.size_hw)
+        if self._cache is not None:
+            self._cache[rec[0]] = img
+        return img
 
     def __len__(self):
         return (len(self.records) + self.batch_size - 1) // self.batch_size
 
     def _load_batch(self, indices: Sequence[int]) -> Dict:
         recs = [self.records[i] for i in indices]
-        images = list(self.pool.map(lambda r: decode_resize(r[0], self.size_hw), recs))
+        images = list(self.pool.map(self._decode, recs))
         count = len(recs)
         pad = self.batch_size - count
         if pad:
@@ -159,7 +173,9 @@ def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None):
     stage2_bs = cfg.SOLVER.STAGE2.IMS_PER_BATCH
     stage1_bs = cfg.SOLVER.STAGE1.IMS_PER_BATCH
 
-    train_batcher = ImageBatcher(dataset.train, size_train, stage2_bs, num_workers)
+    cache = getattr(cfg.DATALOADER, "CACHE_IMAGES", False)
+    train_batcher = ImageBatcher(dataset.train, size_train, stage2_bs, num_workers,
+                                 cache=cache)
     if "triplet" in cfg.DATALOADER.SAMPLER:
         sampler = RandomIdentitySampler(
             dataset.train, stage2_bs, cfg.DATALOADER.NUM_INSTANCE, seed=cfg.SOLVER.SEED
@@ -170,11 +186,13 @@ def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None):
     else:
         raise ValueError(f"unsupported sampler {cfg.DATALOADER.SAMPLER!r}")
 
-    stage1_batcher = ImageBatcher(dataset.train, size_train, stage1_bs, num_workers)
+    stage1_batcher = ImageBatcher(dataset.train, size_train, stage1_bs, num_workers,
+                                  cache=cache)
     train_loader_stage1 = ShuffledLoader(stage1_batcher, cfg.SOLVER.SEED)
 
     val_records = list(dataset.query) + list(dataset.gallery)
-    val_loader = ImageBatcher(val_records, size_test, cfg.TEST.IMS_PER_BATCH, num_workers)
+    val_loader = ImageBatcher(val_records, size_test, cfg.TEST.IMS_PER_BATCH,
+                              num_workers, cache=cache)
 
     return (
         train_loader_stage2,

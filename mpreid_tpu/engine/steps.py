@@ -63,7 +63,7 @@ def make_train_step(
     use_center = center_weight is not None
     aux_coeff = cfg.MODEL.MOE.AUX_LOSS_COEFF if cfg.MODEL.MOE.ENABLED else 0.0
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, lr, key, text_feats=None):
         x = train_augment(batch["images"], key, **aug)
         target = batch["pids"]
@@ -202,7 +202,7 @@ def make_stage1_step(model, cfg, optimizer, stage: str):
     """Prompt-context training step (ref processor_uniprompt_stage1.py:72-98):
     SupCon(i2t) + SupCon(t2i) against a precomputed image-feature bank."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, image_feats, target, views, lr):
         return _stage1_step_impl(model, optimizer, stage, state,
                                  image_feats, target, views, lr)
@@ -221,7 +221,7 @@ def make_stage1_epoch(model, cfg, optimizer, stage: str):
     (state, per-batch losses).
     """
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def epoch(state: TrainState, feats_bank, labels_bank, views_bank, perm, lr):
         train0, frozen = optimizer.partition(state.params)
 

@@ -134,8 +134,11 @@ def do_train_stage1(
     logger.info(
         f"Stage {stage} running time: {timedelta(seconds=time.monotonic() - all_start)}"
     )
+    # the jitted steps donate their input state — rebind every collection so
+    # callers never hold handles to consumed buffers
     variables = dict(variables)
     variables["params"] = state.params
+    variables["batch_stats"] = state.batch_stats
     return variables, history
 
 

@@ -63,13 +63,14 @@ class TestBaselineTrain:
         loss_fn, (center_init, _) = make_loss(cfg2, num_classes)
         # center feat dim must match the mid feature (vision width)
         centers = jax.random.normal(jax.random.PRNGKey(0), (num_classes, 64))
+        centers_before = np.asarray(centers)  # snapshot: steps donate state
         opt = make_optimizer(cfg2.SOLVER, variables["params"], stage="baseline")
         state, history = do_train(
             cfg2, model, variables, tl2, None, opt, lambda e: 1e-3, loss_fn,
             num_query, centers=centers, max_epochs=1,
         )
         # centers moved
-        assert not np.allclose(np.asarray(state.centers), np.asarray(centers))
+        assert not np.allclose(np.asarray(state.centers), centers_before)
 
 
 class TestEvaluator:
