@@ -210,6 +210,9 @@ def get_default_cfg() -> CN:
     # first epoch is written here (view with tensorboard/xprof).
     _C.TPU.PROFILE_DIR = ""
     _C.TPU.PROFILE_STEPS = 5
+    # Shard the eval gallery over the mesh 'data' axis (multi-chip eval;
+    # the full QxG distmat never materializes on one device)
+    _C.TPU.EVAL_SHARDED = False
 
     _C.OUTPUT_DIR = ""
     return _C

@@ -77,6 +77,10 @@ class CfgNode(dict):
                 raise KeyError(f"Non-existent config key: {full}")
             cur = self[k]
             if isinstance(cur, CfgNode):
+                if v is None:
+                    # a section whose children are all commented out parses
+                    # as None — treat as an empty overlay
+                    continue
                 if not isinstance(v, dict):
                     raise TypeError(f"Cannot overwrite subtree {full} with a leaf")
                 cur._merge_dict(v, full)

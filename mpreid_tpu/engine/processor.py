@@ -46,10 +46,45 @@ def run_validation(cfg, model, params, batch_stats, val_loader, num_query,
         })
         n = batch["count"]
         evaluator.update((np.asarray(feat)[:n], batch["pids"][:n], batch["camids"][:n]))
-    cmc, mAP, distmat, *_ = evaluator.compute()
+
+    if getattr(cfg.TPU, "EVAL_SHARDED", False) and len(jax.devices()) > 1 \
+            and not cfg.TEST.RE_RANKING:
+        # gallery sharded over the mesh — exact CMC/mAP without a full
+        # single-device distmat (parallel.sharded_eval)
+        import jax.numpy as jnp
+        from mpreid_tpu.parallel import make_mesh
+        from mpreid_tpu.parallel.sharded_eval import sharded_cmc_map
+
+        feats = np.concatenate(evaluator.feats, axis=0).astype(np.float32)
+        pids = np.concatenate(evaluator.pids)
+        camids = np.concatenate(evaluator.camids)
+        if cfg.TEST.FEAT_NORM == "yes":
+            feats = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+        nq = evaluator.num_query
+        mesh = make_mesh(data=len(jax.devices()), model=1)
+        ng = len(feats) - nq
+        shards = mesh.shape["data"]
+        pad = (-ng) % shards
+        gf = feats[nq:]
+        g_pids = pids[nq:]
+        g_camids = camids[nq:]
+        if pad:
+            # pad with far-away never-relevant dummies (pid −1, huge
+            # features) — ranked last, so metrics are exact
+            gf = np.concatenate([gf, np.full((pad, gf.shape[1]), 1e6, gf.dtype)])
+            g_pids = np.concatenate([g_pids, np.full(pad, -1, g_pids.dtype)])
+            g_camids = np.concatenate([g_camids, np.full(pad, -1, g_camids.dtype)])
+        cmc, mAP = sharded_cmc_map(
+            jnp.asarray(feats[:nq]), jnp.asarray(gf),
+            pids[:nq], g_pids, camids[:nq], g_camids, mesh,
+            camera_filter=cfg.TEST.CAMERA_FILTER,
+        )
+        cmc, mAP, distmat = np.asarray(cmc), float(mAP), None
+    else:
+        cmc, mAP, distmat, *_ = evaluator.compute()
     # the reference names TEST.DIST_MAT but never writes it (SURVEY.md §5) —
     # here the dump works
-    if getattr(cfg.TEST, "DIST_MAT", "") and cfg.OUTPUT_DIR:
+    if getattr(cfg.TEST, "DIST_MAT", "") and cfg.OUTPUT_DIR and distmat is not None:
         import numpy as _np
 
         _np.save(os.path.join(cfg.OUTPUT_DIR, cfg.TEST.DIST_MAT), distmat)

@@ -25,6 +25,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None) -> int:
+    """Multi-host initialization (the NCCL init_process_group analogue,
+    ref train.py:61-62). No-op for single-process runs; on a TPU pod slice
+    the args come from the environment automatically. Returns process index.
+    """
+    import jax
+
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index()
+
+
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)

@@ -7,4 +7,4 @@ from .optim import (
     path_strings,
     stage_trainable,
 )
-from .schedules import make_scheduler, warmup_cosine, warmup_multistep
+from .schedules import make_scheduler, warmup_cosine, warmup_multistep, with_lr_noise

@@ -80,6 +80,44 @@ def warmup_cosine(
     return schedule
 
 
+def with_lr_noise(
+    schedule: Schedule,
+    noise_range_t,
+    noise_pct: float = 0.67,
+    noise_std: float = 1.0,
+    noise_seed: int = 42,
+) -> Schedule:
+    """timm Scheduler LR noise (reference ``solver/scheduler.py:25-105``).
+
+    Within ``noise_range_t`` (a (start, end) pair or single start epoch) the
+    LR is perturbed by ``lr * n`` where n ~ N(0, noise_std) resampled until
+    |n| < noise_pct, seeded per-epoch with ``noise_seed + t``. The reference
+    factory always passes ``noise_range=None`` so this is dormant there;
+    wired here for completeness.
+    """
+    import numpy as np
+
+    if noise_range_t is None:
+        return schedule
+    if isinstance(noise_range_t, (list, tuple)):
+        lo, hi = noise_range_t
+    else:
+        lo, hi = noise_range_t, float("inf")
+
+    def noisy(t: int) -> float:
+        lr = schedule(t)
+        if lo <= t < hi:
+            rng = np.random.RandomState(noise_seed + t)
+            while True:
+                n = rng.randn() * noise_std
+                if abs(n) < noise_pct:
+                    break
+            lr = lr + lr * n
+        return lr
+
+    return noisy
+
+
 def make_scheduler(stage_cfg, kind: str) -> Schedule:
     """Build the schedule a stage uses.
 

@@ -207,3 +207,20 @@ class TestOptimizerMath:
         merged = opt.merge(new_train, frozen)
         assert not np.allclose(merged["prompt_learner"]["ctx_generic"], 1.0)
         np.testing.assert_allclose(np.asarray(merged["prompt_learner"]["ctx_modality"]), 1.0)
+
+
+def test_lr_noise_wrapper():
+    from mpreid_tpu.solver import with_lr_noise
+
+    base = lambda t: 0.1
+    noisy = with_lr_noise(base, noise_range_t=(5, 10), noise_pct=0.67,
+                          noise_std=1.0, noise_seed=42)
+    # outside the range: untouched
+    assert noisy(0) == 0.1 and noisy(10) == 0.1
+    # inside: perturbed but bounded by pct, deterministic per epoch
+    vals = [noisy(t) for t in range(5, 10)]
+    assert all(abs(v - 0.1) < 0.1 * 0.67 + 1e-9 for v in vals)
+    assert any(v != 0.1 for v in vals)
+    assert noisy(6) == noisy(6)
+    # None range = passthrough
+    assert with_lr_noise(base, None)(7) == 0.1
