@@ -231,7 +231,9 @@ def apply_overlay(variables: Dict[str, Any], overlay: Dict[str, Any]) -> Dict[st
 def load_param(path: str, model, variables: Dict[str, Any]) -> Dict[str, Any]:
     """Load a trained reference ``.pth`` into our variables
     (ref make_model.py:118-122)."""
+    import jax
     import torch
 
     sd = torch.load(path, map_location="cpu")
-    return apply_overlay(variables, convert_reid_state_dict(sd, model))
+    merged = apply_overlay(variables, convert_reid_state_dict(sd, model))
+    return jax.tree_util.tree_map(jax.device_put, merged)

@@ -75,16 +75,31 @@ def make_model_uniprompt(cfg, num_class: int, camera_num: int, view_num: int) ->
     return UniPromptReID(**_common_kwargs(cfg, num_class, camera_num, view_num))
 
 
-def init_variables(model, rng: jax.Array, cfg, batch: int = 2) -> Dict[str, Any]:
-    """Random-init the full variable tree (params + batch_stats)."""
+def init_variables(model, rng: jax.Array, cfg, batch: int = 2,
+                   abstract: bool = False) -> Dict[str, Any]:
+    """Init the full variable tree (params + batch_stats).
+
+    ``abstract=True`` returns zero-filled arrays with the right structure
+    without running the (expensive) init computation — for eval flows that
+    immediately overwrite every weight from a checkpoint.
+    """
     h, w = cfg.INPUT.SIZE_TRAIN
     x = jnp.zeros((batch, h, w, 3), jnp.float32)
     label = jnp.zeros((batch,), jnp.int32)
     cam = jnp.zeros((batch,), jnp.int32) if (model.sie_camera or model.sie_view) else None
     view = jnp.zeros((batch,), jnp.int32)
-    if isinstance(model, UniPromptReID):
-        return model.init(rng, x, label, view, method=UniPromptReID.init_all)
-    return model.init(rng, x, label, cam_label=cam, view_label=cam, train=True)
+
+    def do_init(r):
+        if isinstance(model, UniPromptReID):
+            return model.init(r, x, label, view, method=UniPromptReID.init_all)
+        return model.init(r, x, label, cam_label=cam, view_label=cam, train=True)
+
+    if abstract:
+        shapes = jax.eval_shape(do_init, rng)
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes
+        )
+    return do_init(rng)
 
 
 def graft_clip_variables(

@@ -38,9 +38,18 @@ def save_checkpoint(path: str, state: Any, epoch: int) -> None:
     ckptr.wait_until_finished()
 
 
+def _device_put_tree(tree: Any) -> Any:
+    # orbax restores host numpy arrays; as jit arguments those would be
+    # re-transferred on EVERY call (600 MB/step over a remote TPU link) —
+    # commit them to device memory once here
+    import jax
+
+    return jax.tree_util.tree_map(jax.device_put, tree)
+
+
 def load_checkpoint(path: str) -> dict:
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    return _device_put_tree(ckptr.restore(os.path.abspath(path)))
 
 
 def save_weights(path: str, params: Any, batch_stats: Any = None) -> None:
@@ -59,7 +68,9 @@ def load_weights(path: str, variables: dict) -> dict:
     Arrays are matched by tree position; missing collections are kept from
     the input tree.
     """
-    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    restored = _device_put_tree(
+        ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    )
     out = dict(variables)
     out["params"] = restored["params"]
     if "batch_stats" in restored:

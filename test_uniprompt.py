@@ -43,7 +43,10 @@ def main():
 
     model = make_model_uniprompt(cfg, num_class=num_classes,
                                  camera_num=camera_num, view_num=view_num)
-    variables = init_variables(model, jax.random.PRNGKey(0), cfg)
+    # full orbax checkpoints overwrite every weight — skip the expensive
+    # init computation and materialize structure only
+    full_ckpt = bool(cfg.TEST.WEIGHT) and not cfg.TEST.WEIGHT.endswith((".pth", ".pt"))
+    variables = init_variables(model, jax.random.PRNGKey(0), cfg, abstract=full_ckpt)
     if cfg.MODEL.MOE.ENABLED:
         model, variables = switch_to_moe(cfg, model, variables)
     if cfg.TEST.WEIGHT:
