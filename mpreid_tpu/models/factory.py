@@ -86,19 +86,32 @@ def init_variables(model, rng: jax.Array, cfg, batch: int = 2,
     h, w = cfg.INPUT.SIZE_TRAIN
     x = jnp.zeros((batch, h, w, 3), jnp.float32)
     label = jnp.zeros((batch,), jnp.int32)
-    cam = jnp.zeros((batch,), jnp.int32) if (model.sie_camera or model.sie_view) else None
-    view = jnp.zeros((batch,), jnp.int32)
+    cam = jnp.zeros((batch,), jnp.int32) if model.sie_camera else None
+    view = jnp.zeros((batch,), jnp.int32) if model.sie_view else None
 
     def do_init(r):
         if isinstance(model, UniPromptReID):
-            return model.init(r, x, label, view, method=UniPromptReID.init_all)
-        return model.init(r, x, label, cam_label=cam, view_label=cam, train=True)
+            return model.init(
+                r, x, label, view if view is not None else jnp.zeros((batch,), jnp.int32),
+                method=UniPromptReID.init_all,
+            )
+        return model.init(r, x, label, cam_label=cam, view_label=view, train=True)
 
     if abstract:
         shapes = jax.eval_shape(do_init, rng)
-        return jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), shapes
-        )
+        from mpreid_tpu.solver.optim import path_strings
+
+        def fill(tree):
+            names = path_strings(tree)
+            # batch-norm running variance must start at ONES (not zeros),
+            # matching the real init — var=0 would corrupt BN eval math
+            return jax.tree_util.tree_map(
+                lambda s, n: jnp.ones(s.shape, s.dtype)
+                if n.split("/")[-1] == "var" else jnp.zeros(s.shape, s.dtype),
+                tree, names,
+            )
+
+        return {k: fill(v) for k, v in shapes.items()}
     return do_init(rng)
 
 
@@ -159,7 +172,9 @@ def switch_to_moe(cfg, model, variables) -> Tuple[Any, Dict[str, Any]]:
         lora_alpha=float(cfg.SOLVER.LORA.LORA_ALPHA),
     )
     new_model = _dc.replace(model, clip_config=new_clip)
-    new_vars = init_variables(new_model, jax.random.PRNGKey(0), cfg)
+    # every value below is either grafted from the old tree, tiled from the
+    # dense MLPs, or zeroed — only the STRUCTURE of new_vars is used
+    new_vars = init_variables(new_model, jax.random.PRNGKey(0), cfg, abstract=True)
     new_vars = flax.core.unfreeze(new_vars)
 
     old_params = variables["params"]

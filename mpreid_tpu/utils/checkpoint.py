@@ -38,16 +38,26 @@ def save_checkpoint(path: str, state: Any, epoch: int) -> None:
     ckptr.wait_until_finished()
 
 
+def is_torch_weight(path: str) -> bool:
+    """True if ``path`` is a torch ``.pth``/``.pt`` (reference-trained)
+    checkpoint rather than an orbax directory."""
+    return str(path).endswith((".pth", ".pt"))
+
+
 def _device_put_tree(tree: Any) -> Any:
     # orbax restores host numpy arrays; as jit arguments those would be
     # re-transferred on EVERY call (600 MB/step over a remote TPU link) —
     # commit them to device memory once here
-    import jax
-
     return jax.tree_util.tree_map(jax.device_put, tree)
 
 
 def load_checkpoint(path: str) -> dict:
+    """Restore a full train-state checkpoint as device-resident arrays.
+
+    NOTE: the returned arrays may be donated (consumed) by the jitted train
+    steps — do not keep reading the returned dict after stepping a state
+    built from it.
+    """
     ckptr = ocp.StandardCheckpointer()
     return _device_put_tree(ckptr.restore(os.path.abspath(path)))
 

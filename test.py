@@ -52,10 +52,12 @@ def main():
                        view_num=view_num)
     # full orbax checkpoints overwrite every weight — skip the expensive
     # init computation and materialize structure only
-    full_ckpt = bool(cfg.TEST.WEIGHT) and not cfg.TEST.WEIGHT.endswith((".pth", ".pt"))
+    from mpreid_tpu.utils.checkpoint import is_torch_weight
+
+    full_ckpt = bool(cfg.TEST.WEIGHT) and not is_torch_weight(cfg.TEST.WEIGHT)
     variables = init_variables(model, jax.random.PRNGKey(0), cfg, abstract=full_ckpt)
     if cfg.TEST.WEIGHT:
-        if cfg.TEST.WEIGHT.endswith((".pth", ".pt")):
+        if is_torch_weight(cfg.TEST.WEIGHT):
             # trained reference (torch) checkpoint
             from mpreid_tpu.models.convert import load_param
 

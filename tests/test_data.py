@@ -226,3 +226,22 @@ def test_augment_pipeline():
     np.testing.assert_allclose(
         np.asarray(ev), (imgs.astype(np.float32) / 255.0 - 0.5) / 0.5, atol=1e-6
     )
+
+
+def test_identity_signal_fixture_is_learnable(tmp_path):
+    """identity_signal images of the same id must be closer in pixel space."""
+    from mpreid_tpu.data.synthetic import make_market1501
+    from mpreid_tpu.data import Market1501, ImageBatcher
+
+    make_market1501(str(tmp_path), n_ids=4, imgs_per_id=4, identity_signal=True)
+    ds = Market1501(root=str(tmp_path))
+    batcher = ImageBatcher(ds.train, (32, 16), batch_size=16, num_workers=2)
+    batch = next(batcher.iter_sequential())
+    imgs = batch["images"].astype(np.float32).reshape(16, -1)
+    pids = batch["pids"]
+    d = ((imgs[:, None, :] - imgs[None, :, :]) ** 2).sum(-1) ** 0.5
+    same = pids[:, None] == pids[None, :]
+    off_diag = ~np.eye(16, dtype=bool)
+    intra = d[same & off_diag].mean()
+    inter = d[~same].mean()
+    assert intra < inter * 0.8, (intra, inter)

@@ -144,3 +144,29 @@ class TestUniPrompt:
         b = m.apply(v, x, method=UniPromptReID.get_image_vp)
         vp = np.asarray(v["params"]["visual_prompt"])[0, 0]
         np.testing.assert_allclose(np.asarray(b - a), np.tile(vp, (2, 1)), rtol=2e-4, atol=2e-5)
+
+
+def test_abstract_init_matches_real_structure():
+    import dataclasses
+    from mpreid_tpu.models import init_variables
+    from mpreid_tpu.models.reid import ReIDModel
+
+    cfg = tiny_cfg()
+    cfg.INPUT.SIZE_TRAIN = [32, 16]  # matches tiny_clip_config's 2x1 grid
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from tiny import tiny_clip_config
+
+    m = ReIDModel(clip_config=tiny_clip_config(), num_classes=4)
+    real = init_variables(m, jax.random.PRNGKey(0), cfg)
+    fake = init_variables(m, jax.random.PRNGKey(0), cfg, abstract=True)
+    rl = jax.tree_util.tree_structure(real)
+    fl = jax.tree_util.tree_structure(fake)
+    assert rl == fl
+    for a, b in zip(jax.tree_util.tree_leaves(real), jax.tree_util.tree_leaves(fake)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+    # batch-norm running var starts at ones in both
+    np.testing.assert_array_equal(
+        np.asarray(fake["batch_stats"]["bottleneck"]["var"]),
+        np.asarray(real["batch_stats"]["bottleneck"]["var"]),
+    )
