@@ -66,6 +66,12 @@ class R1mAPEvaluator:
         gf = feats[self.num_query :]
         q_pids = pids[: self.num_query]
         g_pids = pids[self.num_query :]
+        if not np.isin(q_pids, g_pids).any():
+            # mirror the reference's assertion (utils/metrics.py:83) instead
+            # of silently returning NaN metrics
+            raise AssertionError(
+                "Error: all query identities do not appear in gallery"
+            )
         q_camids = camids[: self.num_query]
         g_camids = camids[self.num_query :]
 

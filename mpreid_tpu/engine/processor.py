@@ -26,6 +26,19 @@ from .steps import make_eval_step, make_train_step
 from .train_state import TrainState, initial_state
 
 
+_EVAL_STEP_CACHE: dict = {}
+
+
+def _cached_eval_step(model, cfg):
+    # jax.jit caches per function object — rebuilding the closure every
+    # validation would recompile the full eval forward each eval epoch
+    key = (id(model), cfg.TPU.COMPUTE_DTYPE, tuple(cfg.INPUT.PIXEL_MEAN),
+           tuple(cfg.INPUT.PIXEL_STD), cfg.MODEL.SIE_CAMERA, cfg.MODEL.SIE_VIEW)
+    if key not in _EVAL_STEP_CACHE:
+        _EVAL_STEP_CACHE[key] = make_eval_step(model, cfg)
+    return _EVAL_STEP_CACHE[key]
+
+
 def run_validation(cfg, model, params, batch_stats, val_loader, num_query,
                    logger=None, epoch: Optional[int] = None):
     """Shared eval loop (ref processor.py:117-158 / 187-208)."""
@@ -37,7 +50,7 @@ def run_validation(cfg, model, params, batch_stats, val_loader, num_query,
         camera_filter=cfg.TEST.CAMERA_FILTER,
         rerank_fast=getattr(cfg.TEST, "RERANK_FAST", False),
     )
-    eval_step = make_eval_step(model, cfg)
+    eval_step = _cached_eval_step(model, cfg)
     for batch in val_loader.iter_sequential():
         feat = eval_step(params, batch_stats, {
             "images": batch["images"],
@@ -130,19 +143,13 @@ def do_train(
     state = initial_state(variables, optimizer, centers=centers if with_center else None)
     start_epoch = 1
     if getattr(cfg.SOLVER, "RESUME", ""):
-        from mpreid_tpu.utils.checkpoint import load_checkpoint
+        from mpreid_tpu.utils.checkpoint import load_checkpoint, unnest_opt_state
 
         restored = load_checkpoint(cfg.SOLVER.RESUME)
-        from .train_state import TrainState as _TS
-        from mpreid_tpu.solver.optim import OptState as _OS
-
-        state = _TS(
+        state = TrainState(
             params=restored["params"],
             batch_stats=restored.get("batch_stats", {}),
-            opt_state=_OS(*restored["opt_state"]) if isinstance(
-                restored["opt_state"], (list, tuple)) else _OS(
-                restored["opt_state"]["step"], restored["opt_state"]["mu"],
-                restored["opt_state"]["nu"]),
+            opt_state=unnest_opt_state(restored["opt_state"]),
             centers=restored.get("centers", state.centers),
         )
         start_epoch = int(restored["epoch"]) + 1

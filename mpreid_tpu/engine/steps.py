@@ -90,13 +90,22 @@ def make_train_step(
             else:
                 loss = loss_fn(out["scores"], out["feats"], target, cam)
             if aux_coeff and "router_logits" in out:
-                loss = loss + aux_coeff * load_balancing_loss(
-                    out["router_logits"], cfg.MODEL.MOE.TOP_K
+                rl = out["router_logits"]  # (n_gating_blocks, N, E)
+                aux = jnp.mean(
+                    jax.vmap(lambda l: load_balancing_loss(l, cfg.MODEL.MOE.TOP_K))(rl)
                 )
+                loss = loss + aux_coeff * aux
             if use_center:
                 loss = loss + center_weight * center_loss(centers, out["feats"][1], target)
-            score0 = out["scores"][0]
-            acc = jnp.mean((jnp.argmax(score0, axis=-1) == target).astype(jnp.float32))
+            if uniprompt and text_feats is not None:
+                # the reference logs stage-2 acc from the i2t logits
+                # (ref processor_uniprompt_stage2.py:143)
+                acc_logits = logits_i2t
+            else:
+                acc_logits = out["scores"][0]
+            acc = jnp.mean(
+                (jnp.argmax(acc_logits, axis=-1) == target).astype(jnp.float32)
+            )
             return loss, (mut["batch_stats"], acc)
 
         if use_center:
@@ -126,7 +135,7 @@ def make_eval_step(model, cfg):
     """Eval feature extraction (ref processor.py:187-200 hot loop)."""
     mean, std = tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("flip",))
     def step(params, batch_stats, batch, flip: bool = False):
         x = eval_preprocess(batch["images"], mean=mean, std=std)
         if flip:

@@ -78,7 +78,11 @@ def do_inference_tta(cfg, model, variables, val_loader, num_query: int):
     for batch in val_loader.iter_sequential():
         x = eval_preprocess(jnp.asarray(batch["images"]), mean=mean, std=std)
         cam, view = _labels(cfg, batch)
-        is_query = processed < num_query
+        # rows [0, boundary) are queries, the rest gallery — a batch may
+        # straddle the split (the reference misclassifies such batches
+        # wholesale; here query rows get TTA and gallery rows do not)
+        boundary = int(np.clip(num_query - processed, 0, batch["count"]))
+        is_query = boundary > 0
         if is_query:
             views = [x, x[:, :, ::-1, :]]
             gray = jnp.mean(x, axis=-1, keepdims=True)
@@ -86,7 +90,11 @@ def do_inference_tta(cfg, model, variables, val_loader, num_query: int):
             first = x[:, :, :, 0:1]
             views.append(jnp.broadcast_to(first, x.shape))           # pseudo-RGB
             feats = [step(params, bstats, v, cam, view) for v in views]
-            feat = jnp.mean(jnp.stack(feats, axis=0), axis=0)
+            agg = jnp.mean(jnp.stack(feats, axis=0), axis=0)
+            plain = feats[0]
+            # TTA-aggregated features for query rows, plain for gallery rows
+            row = jnp.arange(agg.shape[0])[:, None]
+            feat = jnp.where(row < boundary, agg, plain)
             if feat_norm:
                 feat = feat / jnp.linalg.norm(feat, axis=1, keepdims=True)
         else:
@@ -190,7 +198,9 @@ def do_inference_ttpt(cfg, model, variables, val_loader, num_query: int):
         x = eval_preprocess(jnp.asarray(batch["images"]), mean=mean, std=std)
         cam, view = _labels(cfg, batch)
         n = batch["count"]
-        if processed < num_query:
+        # a batch may straddle the query/gallery boundary — split it
+        boundary = int(np.clip(num_query - processed, 0, n))
+        if boundary > 0:
             feats = [step(params, bstats, x, cam, view)[:, -feat_dim:]]
             if tta:
                 feats.append(step(params, bstats, x[:, :, ::-1, :], cam, view)[:, -feat_dim:])
@@ -198,16 +208,16 @@ def do_inference_ttpt(cfg, model, variables, val_loader, num_query: int):
             if feat_norm:
                 agg = agg / jnp.linalg.norm(agg, axis=1, keepdims=True)
             query_feat = tuner(params, bstats, agg.astype(jnp.float32))
-            qf.append(np.asarray(query_feat)[:n])
-            q_pids.extend(batch["pids"][:n])
-            q_camids.extend(batch["camids"][:n])
-        else:
+            qf.append(np.asarray(query_feat)[:boundary])
+            q_pids.extend(batch["pids"][:boundary])
+            q_camids.extend(batch["camids"][:boundary])
+        if boundary < n:
             feat = step(params, bstats, x, cam, view)
             if feat_norm:
                 feat = feat / jnp.linalg.norm(feat, axis=1, keepdims=True)
-            gf.append(np.asarray(feat)[:n])
-            g_pids.extend(batch["pids"][:n])
-            g_camids.extend(batch["camids"][:n])
+            gf.append(np.asarray(feat)[boundary:n])
+            g_pids.extend(batch["pids"][boundary:n])
+            g_camids.extend(batch["camids"][boundary:n])
         processed += n
 
     qf = jnp.asarray(np.concatenate(qf))

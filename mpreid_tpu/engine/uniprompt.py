@@ -250,11 +250,8 @@ def do_train_stage2(
 
 
 def do_inference(cfg, model, variables, val_loader, num_query: int):
-    """Uni-Prompt eval (ref processor_uniprompt_stage2.py:225-266)."""
-    logger = logging.getLogger("mpreid_tpu.test")
-    logger.info("Enter inferencing")
-    cmc, mAP = run_validation(
-        cfg, model, variables["params"], variables.get("batch_stats", {}),
-        val_loader, num_query, logger,
-    )
-    return cmc[0], cmc[4]
+    """Uni-Prompt eval (ref processor_uniprompt_stage2.py:225-266) —
+    identical flow to the baseline's; delegate."""
+    from .processor import do_inference as _base_do_inference
+
+    return _base_do_inference(cfg, model, variables, val_loader, num_query)

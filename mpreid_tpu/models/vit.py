@@ -105,6 +105,7 @@ class VisionTransformer(nn.Module):
         if self.use_moe:
             n_moe = self.layers if self.moe_layers == -1 else min(self.moe_layers, self.layers)
             routing = None
+            all_logits = []
             for i in range(n_moe):
                 x, logits_i, combine_i = MoEResidualAttentionBlock(
                     w,
@@ -115,10 +116,13 @@ class VisionTransformer(nn.Module):
                     dtype=self.dtype,
                     name=f"moe_resblocks_{i}",
                 )(x, None, routing=routing, deterministic=deterministic)
-                if i == 0:
-                    router_logits = logits_i
-                    if self.shared_routing:
-                        routing = combine_i
+                if logits_i is not None:
+                    # every independently-routing block contributes to the
+                    # balancing loss (with shared routing only block 0 gates)
+                    all_logits.append(logits_i)
+                if i == 0 and self.shared_routing:
+                    routing = combine_i
+            router_logits = jnp.stack(all_logits) if all_logits else None
             for i in range(n_moe, self.layers):
                 x = block_cls(w, self.heads, dtype=self.dtype,
                               lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,

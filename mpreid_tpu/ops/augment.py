@@ -104,7 +104,9 @@ def train_augment(
 
     x = jax.vmap(geom)(images_u8, keys)
     x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
-    erase_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+    # fold_in with a constant outside split()'s index range so erase keys are
+    # independent of the flip/crop keys (fold_in(k, 1) == split(k)[1])
+    erase_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)
     x = jax.vmap(lambda im, k: _random_erase(im, k, re_prob))(x, erase_keys)
     return x
 

@@ -230,8 +230,10 @@ class Optimizer:
 
             steps = jax.tree_util.tree_map(adam_step, mu, nu, self.lr_mult)
             if decoupled:
+                # torch AdamW decays with the per-group lr (lr * multiplier)
                 steps = jax.tree_util.tree_map(
-                    lambda s, p, w: s + lr * w * p, steps, train, self.wd
+                    lambda s, p, w, m: s + lr * m * w * p,
+                    steps, train, self.wd, self.lr_mult,
                 )
         else:
             raise ValueError(f"Unsupported optimizer {self.name!r}")

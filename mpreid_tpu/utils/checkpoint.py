@@ -22,6 +22,31 @@ def _to_numpy(tree: Any) -> Any:
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+def _nest_opt_state(opt_state) -> dict:
+    # OptState.mu/nu are flat dicts keyed by PATH TUPLES; orbax round-trips
+    # tuple keys as their string repr, which would break resume — nest them
+    from flax import traverse_util
+
+    return {
+        "step": np.asarray(opt_state.step),
+        "mu": traverse_util.unflatten_dict(_to_numpy(opt_state.mu)),
+        "nu": traverse_util.unflatten_dict(_to_numpy(opt_state.nu)),
+    }
+
+
+def unnest_opt_state(nested: dict):
+    """Inverse of checkpoint nesting → OptState with tuple-keyed flat dicts."""
+    from flax import traverse_util
+
+    from mpreid_tpu.solver.optim import OptState
+
+    return OptState(
+        step=nested["step"],
+        mu=traverse_util.flatten_dict(nested["mu"]),
+        nu=traverse_util.flatten_dict(nested["nu"]),
+    )
+
+
 def save_checkpoint(path: str, state: Any, epoch: int) -> None:
     """Save full train state (+epoch) to ``path`` (a directory)."""
     path = os.path.abspath(path)
@@ -29,7 +54,7 @@ def save_checkpoint(path: str, state: Any, epoch: int) -> None:
     payload = {
         "params": _to_numpy(state.params),
         "batch_stats": _to_numpy(state.batch_stats),
-        "opt_state": _to_numpy(state.opt_state),
+        "opt_state": _nest_opt_state(state.opt_state),
         "epoch": np.asarray(epoch),
     }
     if state.centers is not None:
