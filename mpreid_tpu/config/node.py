@@ -87,10 +87,16 @@ class CfgNode(dict):
             else:
                 super().__setitem__(k, _coerce(v, cur, full))
 
+    def _check_mutable(self) -> None:
+        if self.is_frozen():
+            raise AttributeError("Attempted to merge into a frozen CfgNode")
+
     def merge_from_other_cfg(self, other: "CfgNode") -> None:
+        self._check_mutable()
         self._merge_dict(other)
 
     def merge_from_file(self, path: str) -> None:
+        self._check_mutable()
         with open(path) as f:
             data = yaml.safe_load(f)
         if data:
@@ -99,6 +105,7 @@ class CfgNode(dict):
     def merge_from_list(self, opts: list | None) -> None:
         if not opts:
             return
+        self._check_mutable()
         if len(opts) % 2 != 0:
             raise ValueError(f"Override list must have even length, got {opts}")
         for key, value in zip(opts[0::2], opts[1::2]):

@@ -58,7 +58,7 @@ class ImageBatcher:
     """Threaded decode of record batches into fixed-size numpy batches."""
 
     def __init__(self, records: Sequence[Record], size_hw, batch_size: int,
-                 num_workers: int = 8, cache: bool = False):
+                 num_workers: int = 8, cache=False):
         self.records = list(records)
         self.size_hw = tuple(size_hw)
         self.batch_size = batch_size
@@ -69,8 +69,12 @@ class ImageBatcher:
         self.prefetcher = ThreadPoolExecutor(max_workers=1)
         # Optional decoded-uint8 cache: each image is decoded exactly once
         # and kept in RAM (Market-1501 train at 256×128 ≈ 1.2 GB). Removes
-        # the JPEG-decode bottleneck from every epoch after the first.
-        self._cache: Optional[dict] = {} if cache else None
+        # the JPEG-decode bottleneck from every epoch after the first. Pass a
+        # dict to share one cache between batchers over the same records.
+        if isinstance(cache, dict):
+            self._cache: Optional[dict] = cache
+        else:
+            self._cache = {} if cache else None
 
     def _decode(self, rec: Record) -> np.ndarray:
         if self._cache is not None:
@@ -164,6 +168,12 @@ def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None):
         name = cfg.DATASETS.NAMES
         if name in ("mmmp", "sysu", "regdb", "agreidv2"):
             kwargs["exp_setting"] = cfg.DATASETS.EXP_SETTING
+        # deterministic eval splits (the reference seeds the global RNG in
+        # its entry scripts; here the seed is threaded explicitly)
+        if name == "mmmp":
+            kwargs["split_seed"] = cfg.SOLVER.SEED
+        if name == "VehicleID":
+            kwargs["seed"] = cfg.SOLVER.SEED
         dataset = build_dataset(name, cfg.DATASETS.ROOT_DIR, **kwargs)
 
     num_workers = cfg.DATALOADER.NUM_WORKERS
@@ -173,7 +183,8 @@ def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None):
     stage2_bs = cfg.SOLVER.STAGE2.IMS_PER_BATCH
     stage1_bs = cfg.SOLVER.STAGE1.IMS_PER_BATCH
 
-    cache = getattr(cfg.DATALOADER, "CACHE_IMAGES", False)
+    # one shared decode cache for both train batchers (same records/size)
+    cache = {} if getattr(cfg.DATALOADER, "CACHE_IMAGES", False) else False
     train_batcher = ImageBatcher(dataset.train, size_train, stage2_bs, num_workers,
                                  cache=cache)
     if "triplet" in cfg.DATALOADER.SAMPLER:

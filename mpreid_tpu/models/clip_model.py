@@ -251,7 +251,7 @@ def _convert_bn(sd, prefix: str) -> Tuple[Dict, Dict]:
     return params, stats
 
 
-def _convert_resnet_visual(sd, cfg: CLIPConfig) -> Tuple[Dict, Dict]:
+def _convert_resnet_visual(sd, cfg: CLIPConfig, resize_pos: bool = True) -> Tuple[Dict, Dict]:
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
 
@@ -285,10 +285,14 @@ def _convert_resnet_visual(sd, cfg: CLIPConfig) -> Tuple[Dict, Dict]:
 
     ap = "visual.attnpool"
     pos = _np(sd[f"{ap}.positional_embedding"])
-    params["attnpool"] = {
-        "positional_embedding": np.asarray(
+    if resize_pos:
+        # original CLIP checkpoints carry a square grid that must be resized;
+        # trained ReID checkpoints already carry the target grid
+        pos = np.asarray(
             resize_pos_embed(jnp.asarray(pos), cfg.h_resolution, cfg.w_resolution)
-        ),
+        )
+    params["attnpool"] = {
+        "positional_embedding": pos,
         "q_proj": {"kernel": _np(sd[f"{ap}.q_proj.weight"]).T, "bias": _np(sd[f"{ap}.q_proj.bias"])},
         "k_proj": {"kernel": _np(sd[f"{ap}.k_proj.weight"]).T, "bias": _np(sd[f"{ap}.k_proj.bias"])},
         "v_proj": {"kernel": _np(sd[f"{ap}.v_proj.weight"]).T, "bias": _np(sd[f"{ap}.v_proj.bias"])},

@@ -56,7 +56,8 @@ def _convert_visual_subtree(sd: Dict[str, Any], clip_config) -> Tuple[Dict, Dict
         if n_moe == 0:
             return _convert_vit_visual_trained(vis_sd, clip_config)
         return _convert_vit_moe_trained(vis_sd, clip_config, n_moe)
-    return _convert_resnet_visual(vis_sd, clip_config)
+    # trained checkpoints already carry the resized attnpool grid
+    return _convert_resnet_visual(vis_sd, clip_config, resize_pos=False)
 
 
 def _convert_vit_visual_trained(vis_sd, cfg) -> Tuple[Dict, Dict]:

@@ -123,6 +123,8 @@ class MoEResidualAttentionBlock(nn.Module):
     top_k: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(
@@ -134,7 +136,10 @@ class MoEResidualAttentionBlock(nn.Module):
     ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array]:
         """Returns (output, router_logits_or_None, combine_weights)."""
         b, l, d = x.shape
-        x = x + MultiHeadAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(
+        x = x + MultiHeadAttention(
+            self.dim, self.num_heads, dtype=self.dtype,
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, name="attn",
+        )(
             LayerNorm(self.dim, name="ln_1")(x), mask
         )
         hidden = LayerNorm(self.dim, name="ln_2")(x)

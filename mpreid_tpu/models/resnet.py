@@ -25,23 +25,50 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
-class _BN(nn.Module):
-    """BatchNorm2d with torch-default momentum, fp32 stats."""
+class _BN2d(nn.Module):
+    """BatchNorm2d with torch semantics: biased batch variance for
+    normalization, UNBIASED variance in the running stats (flax's
+    nn.BatchNorm tracks the biased one — a parity drift vs torch)."""
 
     features: int
-    momentum: float = 0.9
+    momentum: float = 0.9  # EMA decay = 1 − torch momentum (0.1)
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.momentum,
-            epsilon=self.eps,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-            name="bn",
-        )(x)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+        x32 = x.astype(jnp.float32)
+        if train:
+            mean = jnp.mean(x32, axis=(0, 1, 2))
+            var = jnp.var(x32, axis=(0, 1, 2))
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(x.dtype)
+
+
+class _BN(nn.Module):
+    """Named wrapper keeping the checkpoint subtree layout ({name}/bn/...)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return _BN2d(self.features, name="bn")(x, train)
 
 
 def _avg_pool(x: jax.Array, window: int) -> jax.Array:

@@ -98,8 +98,10 @@ class VisionTransformer(nn.Module):
         x = LayerNorm(w, name="ln_pre")(x)
 
         block_cls = ResidualAttentionBlock
+        moe_cls = MoEResidualAttentionBlock
         if self.remat:
             block_cls = nn.remat(ResidualAttentionBlock, static_argnums=())
+            moe_cls = nn.remat(MoEResidualAttentionBlock, static_argnums=(4,))
 
         router_logits = None
         if self.use_moe:
@@ -107,13 +109,15 @@ class VisionTransformer(nn.Module):
             routing = None
             all_logits = []
             for i in range(n_moe):
-                x, logits_i, combine_i = MoEResidualAttentionBlock(
+                x, logits_i, combine_i = moe_cls(
                     w,
                     self.heads,
                     self.num_experts,
                     self.top_k,
                     self.dropout,
                     dtype=self.dtype,
+                    lora_rank=self.lora_rank,
+                    lora_alpha=self.lora_alpha,
                     name=f"moe_resblocks_{i}",
                 )(x, None, routing=routing, deterministic=deterministic)
                 if logits_i is not None:

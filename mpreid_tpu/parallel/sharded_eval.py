@@ -77,9 +77,12 @@ def sharded_topk(
     return fn(qf.astype(jnp.float32), gf.astype(jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("max_rank", "camera_filter", "mesh"))
+@functools.partial(
+    jax.jit, static_argnames=("max_rank", "camera_filter", "mesh", "cap")
+)
 def _sharded_cmc_map_impl(
-    qf, gf, q_pids, g_pids, q_camids, g_camids, max_rank, camera_filter, mesh
+    qf, gf, q_pids, g_pids, q_camids, g_camids, max_rank, camera_filter, mesh,
+    cap,
 ):
     def local(qf, gf_shard, q_pids, g_pids_shard, q_camids, g_camids_shard):
         d = _distmat_local(qf, gf_shard)                       # (Q, Gs)
@@ -95,11 +98,11 @@ def _sharded_cmc_map_impl(
         # thresholds; the all-gathered threshold set is evaluated by ALL
         # shards so psum'd counts are w.r.t. the same thresholds.
         gs = d.shape[1]
-        cap = min(gs, 512)  # per-shard relevant-item cap (plenty for ReID)
+        k = min(gs, cap)
         d_rel_sorted = jnp.sort(jnp.where(mk, d, jnp.inf), axis=1)  # (Q, Gs)
         thresholds = jax.lax.all_gather(
-            d_rel_sorted[:, :cap], "data", axis=1, tiled=True
-        )                                                       # (Q, D*cap)
+            d_rel_sorted[:, :k], "data", axis=1, tiled=True
+        )                                                       # (Q, D*k)
         d_kept_sorted = jnp.sort(jnp.where(keep, d, jnp.inf), axis=1)
 
         search_l = jax.vmap(lambda row, t: jnp.searchsorted(row, t, side="left"))
@@ -145,8 +148,14 @@ def sharded_cmc_map(
 ):
     """Exact CMC/mAP with the gallery sharded over the mesh — the full
     (Q, G) distance matrix is never materialized on any single device."""
+    import numpy as np
+
+    # exact per-shard relevant-item bound: no query can have more relevant
+    # items in one shard than its identity has gallery images in total
+    _, counts = np.unique(np.asarray(g_pids), return_counts=True)
+    cap = int(counts.max()) if len(counts) else 1
     return _sharded_cmc_map_impl(
         qf, gf, jnp.asarray(q_pids), jnp.asarray(g_pids),
         jnp.asarray(q_camids), jnp.asarray(g_camids),
-        max_rank, camera_filter, mesh,
+        max_rank, camera_filter, mesh, cap,
     )

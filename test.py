@@ -40,7 +40,7 @@ def main():
     import jax
 
     if cfg.DATASETS.NAMES == "VehicleID":
-        dataset = build_dataset("VehicleID", cfg.DATASETS.ROOT_DIR)
+        dataset = build_dataset("VehicleID", cfg.DATASETS.ROOT_DIR, seed=cfg.SOLVER.SEED)
         (_, _, val_loader, num_query, num_classes,
          camera_num, view_num) = make_dataloader(cfg, dataset=dataset)
     else:
