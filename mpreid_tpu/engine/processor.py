@@ -168,6 +168,16 @@ def do_train(
 
         n_iter = -1
         profiling = False
+        pending = []  # device metric scalars — fetched only at log points so
+        # the hot loop never synchronizes with the device
+        batch_size = train_loader.batcher.batch_size
+
+        def drain():
+            for m in pending:
+                loss_meter.update(float(m["loss"]), batch_size)
+                acc_meter.update(float(m["acc"]), 1)
+            pending.clear()
+
         for n_iter, batch in enumerate(train_loader.epoch(epoch)):
             if cfg.TPU.PROFILE_DIR and epoch == 1 and n_iter == 1:
                 jax.profiler.start_trace(cfg.TPU.PROFILE_DIR)
@@ -179,20 +189,21 @@ def do_train(
                 lr,
                 step_key,
             )
-            loss_meter.update(float(metrics["loss"]), batch["images"].shape[0])
-            acc_meter.update(float(metrics["acc"]), 1)
+            pending.append(metrics)
             if profiling and n_iter == cfg.TPU.PROFILE_STEPS:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info(f"Wrote profiler trace to {cfg.TPU.PROFILE_DIR}")
             if (n_iter + 1) % log_period == 0:
+                drain()
                 logger.info(
                     "Epoch[{}] Iteration[{}/{}] Loss: {:.3f}, Acc: {:.3f}, Base Lr: {:.2e}".format(
                         epoch, n_iter + 1, len(train_loader), loss_meter.avg,
                         acc_meter.avg, lr,
                     )
                 )
+        drain()
         if profiling:
             jax.profiler.stop_trace()
         if n_iter < 0:

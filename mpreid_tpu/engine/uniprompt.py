@@ -205,6 +205,15 @@ def do_train_stage2(
         acc_meter.reset()
         lr = scheduler(epoch)
         n_iter = -1
+        pending = []  # device scalars; fetched at log points only
+        bsz = train_loader_stage2.batcher.batch_size
+
+        def drain():
+            for m in pending:
+                loss_meter.update(float(m["loss"]), bsz)
+                acc_meter.update(float(m["acc"]), 1)
+            pending.clear()
+
         for n_iter, batch in enumerate(train_loader_stage2.epoch(epoch)):
             key, step_key = jax.random.split(key)
             state, metrics = train_step(
@@ -213,15 +222,16 @@ def do_train_stage2(
                 lr,
                 step_key,
             )
-            loss_meter.update(float(metrics["loss"]), batch["images"].shape[0])
-            acc_meter.update(float(metrics["acc"]), 1)
+            pending.append(metrics)
             if (n_iter + 1) % log_period == 0:
+                drain()
                 logger.info(
                     "Epoch[{}] Iteration[{}/{}] Loss: {:.3f}, Acc: {:.3f}, Base Lr: {:.2e}".format(
                         epoch, n_iter + 1, len(train_loader_stage2),
                         loss_meter.avg, acc_meter.avg, lr,
                     )
                 )
+        drain()
         if n_iter < 0:
             raise RuntimeError("empty training epoch — dataset smaller than one batch")
 
