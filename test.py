@@ -68,17 +68,30 @@ def main():
 
     if cfg.DATASETS.NAMES == "VehicleID":
         # 10 random gallery trials, averaged (ref test.py:46-63)
-        all_r1, all_r5 = [], []
+        from mpreid_tpu.data import ImageBatcher
+        from mpreid_tpu.engine import run_validation
+
+        all_r1, all_r5, all_map = [], [], []
         for trial in range(10):
             dataset.resample()
-            (_, _, val_loader, num_query, *_rest) = make_dataloader(cfg, dataset=dataset)
-            r1, r5 = do_inference(cfg, model, variables, val_loader, num_query)
-            logger.info(f"Trial {trial}: Rank-1 {r1:.1%} Rank-5 {r5:.1%}")
-            all_r1.append(r1)
-            all_r5.append(r5)
+            records = list(dataset.query) + list(dataset.gallery)
+            val_loader = ImageBatcher(
+                records, tuple(cfg.INPUT.SIZE_TEST), cfg.TEST.IMS_PER_BATCH,
+                cfg.DATALOADER.NUM_WORKERS,
+            )
+            cmc, mAP = run_validation(
+                cfg, model, variables["params"], variables.get("batch_stats", {}),
+                val_loader, len(dataset.query), logger,
+            )
+            logger.info(
+                f"Trial {trial}: Rank-1 {cmc[0]:.1%} Rank-5 {cmc[4]:.1%} mAP {mAP:.1%}"
+            )
+            all_r1.append(float(cmc[0]))
+            all_r5.append(float(cmc[4]))
+            all_map.append(float(mAP))
         logger.info(
             f"Averaged over 10 trials: Rank-1 {np.mean(all_r1):.1%} "
-            f"Rank-5 {np.mean(all_r5):.1%}"
+            f"Rank-5 {np.mean(all_r5):.1%} mAP {np.mean(all_map):.1%}"
         )
     else:
         do_inference(cfg, model, variables, val_loader, num_query)

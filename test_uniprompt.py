@@ -61,7 +61,37 @@ def main():
             variables = load_weights(cfg.TEST.WEIGHT, variables)
         logger.info(f"Loading pretrained model from {cfg.TEST.WEIGHT}")
 
-    if cfg.TEST.TTPT.ENABLED or cfg.TEST.TTA_ENABLED:
+    if cfg.DATASETS.NAMES == "VehicleID":
+        # 10-trial averaged protocol (ref test_uniprompt.py:47-63)
+        import numpy as np
+
+        from mpreid_tpu.data import ImageBatcher, build_dataset
+        from mpreid_tpu.engine import run_validation
+
+        dataset = build_dataset("VehicleID", cfg.DATASETS.ROOT_DIR, seed=cfg.SOLVER.SEED)
+        all_r1, all_r5, all_map = [], [], []
+        for trial in range(10):
+            dataset.resample()
+            records = list(dataset.query) + list(dataset.gallery)
+            loader = ImageBatcher(
+                records, tuple(cfg.INPUT.SIZE_TEST), cfg.TEST.IMS_PER_BATCH,
+                cfg.DATALOADER.NUM_WORKERS,
+            )
+            cmc, mAP = run_validation(
+                cfg, model, variables["params"], variables.get("batch_stats", {}),
+                loader, len(dataset.query), logger,
+            )
+            logger.info(
+                f"Trial {trial}: Rank-1 {cmc[0]:.1%} Rank-5 {cmc[4]:.1%} mAP {mAP:.1%}"
+            )
+            all_r1.append(float(cmc[0]))
+            all_r5.append(float(cmc[4]))
+            all_map.append(float(mAP))
+        logger.info(
+            f"Averaged over 10 trials: Rank-1 {np.mean(all_r1):.1%} "
+            f"Rank-5 {np.mean(all_r5):.1%} mAP {np.mean(all_map):.1%}"
+        )
+    elif cfg.TEST.TTPT.ENABLED or cfg.TEST.TTA_ENABLED:
         from mpreid_tpu.engine.ttpt import do_inference_ttpt
 
         do_inference_ttpt(cfg, model, variables, val_loader, num_query)

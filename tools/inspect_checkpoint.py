@@ -52,8 +52,19 @@ def main():
 
     tree = load_tree(args.checkpoint)
     lines = [f"{k}  {v}" for k, v in sorted(tree.items())]
-    n_params = sum(int(__import__('numpy').prod(v)) for v in tree.values())
-    lines.append(f"\n# {len(tree)} tensors, {n_params:,} parameters")
+    import numpy as _np
+
+    param_keys = [k for k in tree if k == "params" or k.startswith("params.")]
+    if param_keys:
+        n_params = sum(int(_np.prod(tree[k])) for k in param_keys)
+        n_other = sum(int(_np.prod(v)) for v in tree.values()) - n_params
+        lines.append(
+            f"\n# {len(tree)} tensors; {n_params:,} model parameters"
+            f" (+{n_other:,} optimizer/stat values)"
+        )
+    else:
+        n_params = sum(int(_np.prod(v)) for v in tree.values())
+        lines.append(f"\n# {len(tree)} tensors, {n_params:,} parameters")
 
     if args.diff:
         other = load_tree(args.diff)

@@ -1,6 +1,6 @@
 """Baseline training entry point (reference ``train.py`` CLI surface).
 
-Usage: python train.py --config_file configs/person/vit_clipreid.yml [KEY VALUE ...]
+Usage: python train.py --config_file configs/person/vit_base.yml [KEY VALUE ...]
 """
 
 import argparse
@@ -12,7 +12,7 @@ import numpy as np
 from mpreid_tpu.config import get_default_cfg
 from mpreid_tpu.data import make_dataloader
 from mpreid_tpu.engine import do_train
-from mpreid_tpu.losses import init_centers, make_loss
+from mpreid_tpu.losses import make_loss
 from mpreid_tpu.models import init_variables, load_pretrained, make_model
 from mpreid_tpu.solver import make_optimizer, warmup_multistep
 from mpreid_tpu.utils import setup_logger

@@ -21,7 +21,7 @@ from mpreid_tpu.engine import (
     do_train_stage1,
     do_train_stage2,
 )
-from mpreid_tpu.losses import init_centers, make_loss
+from mpreid_tpu.losses import make_loss
 from mpreid_tpu.models import (
     init_variables,
     load_pretrained,
@@ -73,7 +73,10 @@ def main():
                                  camera_num=camera_num, view_num=view_num)
     variables = init_variables(model, jax.random.PRNGKey(cfg.SOLVER.SEED), cfg)
     if cfg.MODEL.PRETRAIN_PATH:
-        variables = load_pretrained(variables, cfg)
+        # use the dense stage-1 config: with MOE enabled, cfg would make the
+        # converter emit an MoE-structured visual tree that cannot graft
+        # into the dense stage-1 model
+        variables = load_pretrained(variables, stage1_cfg)
         logger.info(f"Loaded CLIP weights from {cfg.MODEL.PRETRAIN_PATH}")
 
     loss_fn, (center_init, _) = make_loss(cfg, num_classes=num_classes)
