@@ -1,0 +1,98 @@
+"""End-to-end determinism and scan/loop equivalence guarantees.
+
+The reference's determinism story is best-effort seeding undermined by
+cudnn.benchmark (SURVEY.md §5); here bit-reproducibility is a tested
+contract.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpreid_tpu.data import make_dataloader
+from mpreid_tpu.data.synthetic import make_market1501
+from mpreid_tpu.engine import do_train, do_train_stage1
+from mpreid_tpu.engine.steps import make_stage1_epoch, make_stage1_step
+from mpreid_tpu.engine.train_state import initial_state
+from mpreid_tpu.losses import make_loss
+from mpreid_tpu.solver import make_optimizer
+
+from tiny import tiny_cfg, tiny_model
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("determ")
+    make_market1501(str(root), n_ids=6, imgs_per_id=8)
+    cfg = tiny_cfg()
+    cfg.DATASETS.NAMES = "market1501"
+    cfg.DATASETS.ROOT_DIR = str(root)
+    return cfg
+
+
+def _train_once(cfg):
+    model, variables = tiny_model(cfg, num_classes=6)
+    loss_fn, _ = make_loss(cfg, 6)
+    loaders = make_dataloader(cfg)
+    opt = make_optimizer(cfg.SOLVER, variables["params"], stage="baseline")
+    state, hist = do_train(cfg, model, variables, loaders[0], None, opt,
+                           lambda e: 1e-3, loss_fn, loaders[3], max_epochs=2)
+    return state, hist
+
+
+def test_same_seed_reproduces_bitwise(env):
+    cfg = env
+    s1, h1 = _train_once(cfg)
+    s2, h2 = _train_once(cfg)
+    assert h1 == h2
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stage1_scan_equals_step_loop(env):
+    """The compiled-epoch scan must produce the same params as stepping."""
+    cfg = env
+    model, variables = tiny_model(cfg, num_classes=6, uniprompt=True)
+    rng = np.random.RandomState(0)
+    n, batch = 24, 8
+    feats = jnp.asarray(rng.randn(n, 32).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 6, n).astype(np.int32))
+    views = jnp.asarray(rng.randint(0, 14, n).astype(np.int32))
+    perm = jnp.arange(n).reshape(n // batch, batch)
+
+    opt = make_optimizer(cfg.SOLVER.STAGE1A, variables["params"], stage="stage1a")
+    import copy
+
+    v_copy = jax.tree_util.tree_map(jnp.array, variables)
+
+    epoch_fn = make_stage1_epoch(model, cfg, opt, stage="1a")
+    state_a = initial_state(variables, opt)
+    state_a, losses_a = epoch_fn(state_a, feats, labels, views, perm, 1e-3)
+
+    step_fn = make_stage1_step(model, cfg, opt, stage="1a")
+    state_b = initial_state(v_copy, opt)
+    losses_b = []
+    for i in range(n // batch):
+        sel = perm[i]
+        state_b, m = step_fn(state_b, feats[sel], labels[sel], None, 1e-3)
+        losses_b.append(float(m["loss"]))
+
+    np.testing.assert_allclose(np.asarray(losses_a), losses_b, rtol=1e-5)
+    ctx_a = np.asarray(state_a.params["prompt_learner"]["ctx_generic"])
+    ctx_b = np.asarray(state_b.params["prompt_learner"]["ctx_generic"])
+    np.testing.assert_allclose(ctx_a, ctx_b, rtol=1e-5, atol=1e-7)
+
+
+def test_tta_straddling_batch(env):
+    """Eval batches straddling the query/gallery boundary split correctly."""
+    from mpreid_tpu.engine.ttpt import do_inference_tta
+
+    cfg = env.clone()
+    cfg.TEST.IMS_PER_BATCH = 16  # num_query=24 → second batch straddles at 8
+    cfg.TEST.TTA_ENABLED = True
+    loaders = make_dataloader(cfg)
+    model, variables = tiny_model(cfg, num_classes=6)
+    r1, r5 = do_inference_tta(cfg, model, variables, loaders[2], loaders[3])
+    assert 0.0 <= r1 <= 1.0
