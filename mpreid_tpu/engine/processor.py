@@ -134,6 +134,16 @@ def do_train(
     logger = logging.getLogger("mpreid_tpu.train")
     logger.info("start training")
 
+    # config-driven multi-device data parallelism: shard params (TP/EP per
+    # param_spec) and batches (DP) over the mesh; GSPMD inserts collectives
+    mesh = None
+    if len(jax.devices()) > 1 and cfg.TPU.MESH_DATA != 1:
+        from mpreid_tpu.parallel import mesh_from_cfg, shard_variables
+
+        mesh = mesh_from_cfg(cfg)
+        variables = shard_variables(variables, mesh)
+        logger.info(f"Training over mesh {dict(mesh.shape)}")
+
     with_center = "center" in cfg.MODEL.METRIC_LOSS_TYPE
     train_step = make_train_step(
         model, cfg, loss_fn, optimizer,
@@ -183,12 +193,14 @@ def do_train(
                 jax.profiler.start_trace(cfg.TPU.PROFILE_DIR)
                 profiling = True
             key, step_key = jax.random.split(key)
-            state, metrics = train_step(
-                state,
-                {k: batch[k] for k in ("images", "pids", "camids", "trackids")},
-                lr,
-                step_key,
-            )
+            device_batch = {
+                k: batch[k] for k in ("images", "pids", "camids", "trackids")
+            }
+            if mesh is not None:
+                from mpreid_tpu.parallel import shard_batch
+
+                device_batch = shard_batch(device_batch, mesh)
+            state, metrics = train_step(state, device_batch, lr, step_key)
             pending.append(metrics)
             if profiling and n_iter == cfg.TPU.PROFILE_STEPS:
                 jax.block_until_ready(state.params)

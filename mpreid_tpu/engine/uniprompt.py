@@ -187,6 +187,13 @@ def do_train_stage2(
     text_features = jnp.asarray(
         precompute_text_features(cfg, model, variables, num_classes)
     )
+    mesh = None
+    if len(jax.devices()) > 1 and cfg.TPU.MESH_DATA != 1:
+        from mpreid_tpu.parallel import mesh_from_cfg, shard_variables
+
+        mesh = mesh_from_cfg(cfg)
+        variables = shard_variables(variables, mesh)
+        logger.info(f"Training over mesh {dict(mesh.shape)}")
     with_center = "center" in cfg.MODEL.METRIC_LOSS_TYPE
     train_step = make_train_step(
         model, cfg, loss_fn, optimizer, uniprompt=True, text_features=text_features,
@@ -216,12 +223,14 @@ def do_train_stage2(
 
         for n_iter, batch in enumerate(train_loader_stage2.epoch(epoch)):
             key, step_key = jax.random.split(key)
-            state, metrics = train_step(
-                state,
-                {k: batch[k] for k in ("images", "pids", "camids", "trackids")},
-                lr,
-                step_key,
-            )
+            device_batch = {
+                k: batch[k] for k in ("images", "pids", "camids", "trackids")
+            }
+            if mesh is not None:
+                from mpreid_tpu.parallel import shard_batch
+
+                device_batch = shard_batch(device_batch, mesh)
+            state, metrics = train_step(state, device_batch, lr, step_key)
             pending.append(metrics)
             if (n_iter + 1) % log_period == 0:
                 drain()

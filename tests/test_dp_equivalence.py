@@ -57,3 +57,23 @@ def test_dp_step_matches_single_device():
 
     assert np.isclose(loss1, loss8, rtol=1e-4), (loss1, loss8)
     np.testing.assert_allclose(p1, p8, rtol=1e-4, atol=1e-6)
+
+
+def test_config_driven_multidevice_training(tmp_path):
+    """do_train shards over the mesh when TPU.MESH_DATA allows and trains."""
+    from mpreid_tpu.data import make_dataloader
+    from mpreid_tpu.data.synthetic import make_market1501
+    from mpreid_tpu.engine import do_train
+
+    make_market1501(str(tmp_path), n_ids=6, imgs_per_id=8)
+    cfg = tiny_cfg()
+    cfg.DATASETS.NAMES = "market1501"
+    cfg.DATASETS.ROOT_DIR = str(tmp_path)
+    cfg.TPU.MESH_DATA = -1  # all 8 virtual devices
+    model, variables = tiny_model(cfg, num_classes=6)
+    loss_fn, _ = make_loss(cfg, 6)
+    loaders = make_dataloader(cfg)
+    opt = make_optimizer(cfg.SOLVER, variables["params"], stage="baseline")
+    state, hist = do_train(cfg, model, variables, loaders[0], None, opt,
+                           lambda e: 3e-3, loss_fn, loaders[3], max_epochs=3)
+    assert hist[-1]["loss"] < hist[0]["loss"]
