@@ -182,6 +182,9 @@ def get_default_cfg() -> CN:
     _C.TEST.WEIGHT = ""
     _C.TEST.NECK_FEAT = "after"
     _C.TEST.FEAT_NORM = "yes"
+    # 'euclidean' (reference behavior) or 'cosine' (arccos distance — the
+    # reference ships cosine_similarity but never calls it, metrics.py:15-25)
+    _C.TEST.DIST_METRIC = "euclidean"
     _C.TEST.DIST_MAT = "dist_mat.npy"
     _C.TEST.EVAL = False
     # Standard-protocol camera filtering. The reference hard-disables the

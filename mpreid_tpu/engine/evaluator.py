@@ -19,7 +19,7 @@ from typing import List
 import jax.numpy as jnp
 import numpy as np
 
-from mpreid_tpu.ops import cmc_map, euclidean_squared_distmat, re_ranking
+from mpreid_tpu.ops import cmc_map, cosine_distmat, euclidean_squared_distmat, re_ranking
 
 
 class R1mAPEvaluator:
@@ -34,6 +34,7 @@ class R1mAPEvaluator:
         rerank_k2: int = 15,
         rerank_lambda: float = 0.3,
         rerank_fast: bool = False,
+        dist_metric: str = "euclidean",
     ):
         self.num_query = num_query
         self.max_rank = max_rank
@@ -42,6 +43,11 @@ class R1mAPEvaluator:
         self.camera_filter = camera_filter
         self.rerank_params = (rerank_k1, rerank_k2, rerank_lambda)
         self.rerank_fast = rerank_fast
+        if dist_metric not in ("euclidean", "cosine"):
+            raise ValueError(
+                f"Unknown dist_metric {dist_metric!r}; expected 'euclidean' or 'cosine'"
+            )
+        self.dist_metric = dist_metric
         self.reset()
 
     def reset(self):
@@ -79,6 +85,8 @@ class R1mAPEvaluator:
             k1, k2, lam = self.rerank_params
             distmat = re_ranking(qf, gf, k1=k1, k2=k2, lambda_value=lam,
                                  fast_minsum=self.rerank_fast)
+        elif self.dist_metric == "cosine":
+            distmat = cosine_distmat(qf, gf)
         else:
             distmat = euclidean_squared_distmat(qf, gf)
 

@@ -148,3 +148,35 @@ def test_reranking_fast_minsum_metric_equivalent():
                            jnp.asarray(zq), jnp.asarray(zg))
     assert abs(float(cmc_e[0]) - float(cmc_f[0])) < 0.03
     assert abs(float(map_e) - float(map_f)) < 0.01
+
+
+def test_cosine_distmat_matches_numpy():
+    from mpreid_tpu.ops import cosine_distmat
+
+    rng = np.random.RandomState(0)
+    q = rng.randn(5, 8).astype(np.float32)
+    g = rng.randn(7, 8).astype(np.float32)
+    got = np.asarray(cosine_distmat(jnp.asarray(q), jnp.asarray(g)))
+    sim = (q @ g.T) / (np.linalg.norm(q, axis=1, keepdims=True)
+                       @ np.linalg.norm(g, axis=1, keepdims=True).T)
+    exp = np.arccos(np.clip(sim, -1 + 1e-5, 1 - 1e-5))
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_evaluator_cosine_metric():
+    from mpreid_tpu.engine import R1mAPEvaluator
+
+    rng = np.random.RandomState(1)
+    feats = rng.randn(30, 8).astype(np.float32)
+    pids = np.arange(30) % 5
+    ev_e = R1mAPEvaluator(num_query=10)
+    ev_c = R1mAPEvaluator(num_query=10, dist_metric="cosine")
+    for ev in (ev_e, ev_c):
+        ev.update((feats, pids, np.zeros(30, np.int64)))
+    d_e = ev_e.compute()[2]
+    d_c = ev_c.compute()[2]
+    assert not np.allclose(d_e, d_c)
+    # with L2-normalized features both metrics produce the same RANKING
+    r_e = np.argsort(d_e, axis=1)
+    r_c = np.argsort(d_c, axis=1)
+    np.testing.assert_array_equal(r_e, r_c)
