@@ -170,3 +170,27 @@ def test_abstract_init_matches_real_structure():
         np.asarray(fake["batch_stats"]["bottleneck"]["var"]),
         np.asarray(real["batch_stats"]["bottleneck"]["var"]),
     )
+
+
+def test_bf16_policy_feature_drift_is_small():
+    """bf16 compute must stay directionally faithful to fp32 (the parity
+    policy: bf16 activations, fp32 LayerNorm/softmax/accumulation)."""
+    import dataclasses
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from tiny import tiny_clip_config
+    from mpreid_tpu.models.reid import ReIDModel
+
+    cc = tiny_clip_config(vision_layers=4, transformer_layers=2)
+    m32 = ReIDModel(clip_config=cc, num_classes=4, dtype=jnp.float32)
+    m16 = ReIDModel(clip_config=cc, num_classes=4, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((1, 32, 16, 3))
+    v = m32.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32), train=True)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 16, 3))
+    f32 = np.asarray(m32.apply(v, x, train=False))
+    f16 = np.asarray(m16.apply(v, x, train=False)).astype(np.float32)
+    cos = np.sum(f32 * f16, axis=1) / (
+        np.linalg.norm(f32, axis=1) * np.linalg.norm(f16, axis=1)
+    )
+    assert cos.min() > 0.995, cos
