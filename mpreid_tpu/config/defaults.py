@@ -216,6 +216,10 @@ def get_default_cfg() -> CN:
     # Shard the eval gallery over the mesh 'data' axis (multi-chip eval;
     # the full QxG distmat never materializes on one device)
     _C.TPU.EVAL_SHARDED = False
+    # Keep the decoded train set in HBM and compile whole epochs as one scan
+    # (for datasets that fit; Market-1501 at 256x128 is ~1.2 GB uint8).
+    # Removes all host round-trips and uploads from the training hot loop.
+    _C.TPU.DEVICE_DATASET = False
 
     _C.OUTPUT_DIR = ""
     return _C

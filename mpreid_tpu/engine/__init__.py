@@ -6,6 +6,7 @@ from .steps import (
     make_stage1_epoch,
     make_stage1_step,
     make_text_step,
+    make_train_epoch,
     make_train_step,
 )
 from .train_state import TrainState, initial_state

@@ -22,7 +22,7 @@ from mpreid_tpu.utils.meter import AverageMeter
 from mpreid_tpu.utils.checkpoint import save_checkpoint
 
 from .evaluator import R1mAPEvaluator
-from .steps import make_eval_step, make_train_step
+from .steps import make_eval_step, make_train_epoch, make_train_step
 from .train_state import TrainState, initial_state
 
 
@@ -111,6 +111,35 @@ def run_validation(cfg, model, params, batch_stats, val_loader, num_query,
     return cmc, mAP
 
 
+def build_device_dataset(train_loader):
+    """Decode every train record once and place the uint8 images + labels in
+    device memory (TPU.DEVICE_DATASET mode)."""
+    batcher = train_loader.batcher
+    records = batcher.records
+    import jax.numpy as jnp
+
+    images = np.stack(list(batcher.pool.map(batcher._decode, records)))
+    return (
+        jnp.asarray(images),
+        jnp.asarray(np.asarray([r[1] for r in records], np.int32)),
+        jnp.asarray(np.asarray([r[2] for r in records], np.int32)),
+        jnp.asarray(np.asarray([r[3] for r in records], np.int32)),
+    )
+
+
+def epoch_perm(train_loader, epoch: int, seed: int) -> np.ndarray:
+    """(n_batches, batch) index matrix for one epoch (full batches only)."""
+    batcher = train_loader.batcher
+    bs = batcher.batch_size
+    if hasattr(train_loader, "sampler"):
+        idxs = train_loader.sampler.epoch_indices(epoch)
+    else:
+        rng = np.random.default_rng(seed + epoch)
+        idxs = rng.permutation(len(batcher.records))
+    usable = len(idxs) - len(idxs) % bs
+    return np.asarray(idxs[:usable]).reshape(-1, bs)
+
+
 def do_train(
     cfg,
     model,
@@ -151,6 +180,18 @@ def do_train(
         center_weight=solver.CENTER_LOSS_WEIGHT if with_center else None,
         center_lr=solver.CENTER_LR if with_center else None,
     )
+    device_data = None
+    epoch_fn = None
+    if getattr(cfg.TPU, "DEVICE_DATASET", False) and mesh is None:
+        device_data = build_device_dataset(train_loader)
+        epoch_fn = make_train_epoch(
+            model, cfg, loss_fn, optimizer,
+            center_weight=solver.CENTER_LOSS_WEIGHT if with_center else None,
+            center_lr=solver.CENTER_LR if with_center else None,
+        )
+        logger.info(
+            f"Device-resident dataset: {device_data[0].shape[0]} images in HBM"
+        )
     state = initial_state(variables, optimizer, centers=centers if with_center else None)
     start_epoch = 1
     if getattr(cfg.SOLVER, "RESUME", ""):
@@ -176,6 +217,39 @@ def do_train(
         loss_meter.reset()
         acc_meter.reset()
         lr = scheduler(epoch)
+
+        if epoch_fn is not None:
+            # whole epoch as one compiled scan over the HBM-resident dataset
+            import jax.numpy as jnp
+
+            perm = epoch_perm(train_loader, epoch, cfg.SOLVER.SEED)
+            key, epoch_key = jax.random.split(key)
+            state, (losses, accs) = epoch_fn(
+                state, *device_data, jnp.asarray(perm), lr, epoch_key
+            )
+            losses = np.asarray(losses)
+            accs = np.asarray(accs)
+            for i in range(len(losses)):
+                loss_meter.update(float(losses[i]), train_loader.batcher.batch_size)
+                acc_meter.update(float(accs[i]), 1)
+            n_iter = len(losses) - 1
+            jax.block_until_ready(state.params)
+            time_per_batch = (time.time() - start_time) / max(n_iter + 1, 1)
+            logger.info(
+                "Epoch {} done. Loss: {:.3f}, Acc: {:.3f}, Time per batch: {:.3f}[s] Speed: {:.1f}[samples/s]".format(
+                    epoch, loss_meter.avg, acc_meter.avg, time_per_batch,
+                    train_loader.batcher.batch_size / time_per_batch,
+                )
+            )
+            history.append({"epoch": epoch, "loss": loss_meter.avg, "acc": acc_meter.avg})
+            if cfg.OUTPUT_DIR and epoch % checkpoint_period == 0:
+                save_checkpoint(
+                    os.path.join(cfg.OUTPUT_DIR, f"{cfg.MODEL.NAME}_{epoch}"), state, epoch
+                )
+            if epoch % eval_period == 0 and val_loader is not None:
+                run_validation(cfg, model, state.params, state.batch_stats,
+                               val_loader, num_query, logger, epoch)
+            continue
 
         n_iter = -1
         profiling = False

@@ -39,6 +39,68 @@ def _augment_args(cfg):
     )
 
 
+def _train_step_impl(
+    model, cfg, loss_fn, optimizer, uniprompt, aug, use_center,
+    center_weight, center_lr, aux_coeff,
+    train_params, frozen_params, opt_state, batch_stats, centers,
+    batch, lr, key, text_feats,
+):
+    """Shared body of the per-step and whole-epoch train paths."""
+    x = train_augment(batch["images"], key, **aug)
+    target = batch["pids"]
+    cam, view = _labels_for(cfg, batch)
+
+    def inner(train_sub, centers_in):
+        params = optimizer.merge(train_sub, frozen_params)
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, target, cam, view, train=True, mutable=["batch_stats"],
+        )
+        if uniprompt and text_feats is not None:
+            score = out["scores"][0]
+            feat = out["feats"][1]
+            logits_i2t = jnp.dot(
+                out["img_feature_proj"].astype(jnp.float32),
+                text_feats.astype(jnp.float32).T,
+                preferred_element_type=jnp.float32,
+            )
+            loss = loss_fn(score, feat, target, cam, logits_i2t)
+        else:
+            loss = loss_fn(out["scores"], out["feats"], target, cam)
+        if aux_coeff and "router_logits" in out:
+            rl = out["router_logits"]  # (n_gating_blocks, N, E)
+            aux = jnp.mean(
+                jax.vmap(lambda l: load_balancing_loss(l, cfg.MODEL.MOE.TOP_K))(rl)
+            )
+            loss = loss + aux_coeff * aux
+        if use_center:
+            loss = loss + center_weight * center_loss(centers_in, out["feats"][1], target)
+        if uniprompt and text_feats is not None:
+            # the reference logs stage-2 acc from the i2t logits
+            # (ref processor_uniprompt_stage2.py:143)
+            acc_logits = logits_i2t
+        else:
+            acc_logits = out["scores"][0]
+        acc = jnp.mean(
+            (jnp.argmax(acc_logits, axis=-1) == target).astype(jnp.float32)
+        )
+        return loss, (mut["batch_stats"], acc)
+
+    if use_center:
+        (loss, (bs, acc)), (grads, cgrad) = jax.value_and_grad(
+            inner, argnums=(0, 1), has_aux=True
+        )(train_params, centers)
+        new_centers = centers - center_lr * (cgrad / center_weight)
+    else:
+        (loss, (bs, acc)), grads = jax.value_and_grad(inner, has_aux=True)(
+            train_params, centers
+        )
+        new_centers = centers
+
+    new_train, new_opt = optimizer.update(grads, opt_state, train_params, lr)
+    return new_train, new_opt, bs, new_centers, loss, acc
+
+
 def make_train_step(
     model,
     cfg,
@@ -65,61 +127,15 @@ def make_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, lr, key, text_feats=None):
-        x = train_augment(batch["images"], key, **aug)
-        target = batch["pids"]
-        cam, view = _labels_for(cfg, batch)
         # differentiate only w.r.t. the trainable partition — frozen params
         # get neither gradients nor optimizer moments
         train_params, frozen_params = optimizer.partition(state.params)
-
-        def inner(train_sub, centers):
-            params = optimizer.merge(train_sub, frozen_params)
-            out, mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                x, target, cam, view, train=True, mutable=["batch_stats"],
-            )
-            if uniprompt and text_feats is not None:
-                score = out["scores"][0]
-                feat = out["feats"][1]
-                logits_i2t = jnp.dot(
-                    out["img_feature_proj"].astype(jnp.float32),
-                    text_feats.astype(jnp.float32).T,
-                    preferred_element_type=jnp.float32,
-                )
-                loss = loss_fn(score, feat, target, cam, logits_i2t)
-            else:
-                loss = loss_fn(out["scores"], out["feats"], target, cam)
-            if aux_coeff and "router_logits" in out:
-                rl = out["router_logits"]  # (n_gating_blocks, N, E)
-                aux = jnp.mean(
-                    jax.vmap(lambda l: load_balancing_loss(l, cfg.MODEL.MOE.TOP_K))(rl)
-                )
-                loss = loss + aux_coeff * aux
-            if use_center:
-                loss = loss + center_weight * center_loss(centers, out["feats"][1], target)
-            if uniprompt and text_feats is not None:
-                # the reference logs stage-2 acc from the i2t logits
-                # (ref processor_uniprompt_stage2.py:143)
-                acc_logits = logits_i2t
-            else:
-                acc_logits = out["scores"][0]
-            acc = jnp.mean(
-                (jnp.argmax(acc_logits, axis=-1) == target).astype(jnp.float32)
-            )
-            return loss, (mut["batch_stats"], acc)
-
-        if use_center:
-            (loss, (bs, acc)), (grads, cgrad) = jax.value_and_grad(
-                inner, argnums=(0, 1), has_aux=True
-            )(train_params, state.centers)
-            new_centers = state.centers - center_lr * (cgrad / center_weight)
-        else:
-            (loss, (bs, acc)), grads = jax.value_and_grad(inner, has_aux=True)(
-                train_params, state.centers
-            )
-            new_centers = state.centers
-
-        new_train, new_opt = optimizer.update(grads, state.opt_state, train_params, lr)
+        new_train, new_opt, bs, new_centers, loss, acc = _train_step_impl(
+            model, cfg, loss_fn, optimizer, uniprompt, aug, use_center,
+            center_weight, center_lr, aux_coeff,
+            train_params, frozen_params, state.opt_state, state.batch_stats,
+            state.centers, batch, lr, key, text_feats,
+        )
         new_state = TrainState(
             params=optimizer.merge(new_train, frozen_params),
             batch_stats=bs, opt_state=new_opt, centers=new_centers,
@@ -129,6 +145,64 @@ def make_train_step(
     if uniprompt and text_features is not None:
         return functools.partial(step, text_feats=text_features)
     return step
+
+
+def make_train_epoch(
+    model,
+    cfg,
+    loss_fn: Callable,
+    optimizer,
+    uniprompt: bool = False,
+    text_features: Optional[jax.Array] = None,
+    center_weight: Optional[float] = None,
+    center_lr: Optional[float] = None,
+):
+    """Whole training epoch as ONE compiled scan over a device-resident
+    dataset (TPU.DEVICE_DATASET mode).
+
+    The uint8 train images live in HBM; per scan step a PK batch is gathered
+    by index, augmented, and stepped — no host round-trips or uploads inside
+    the epoch. Only the trainable partition + moments + batch_stats +
+    centers ride the carry. Returns (state, (losses, accs))."""
+    aug = _augment_args(cfg)
+    use_center = center_weight is not None
+    aux_coeff = cfg.MODEL.MOE.AUX_LOSS_COEFF if cfg.MODEL.MOE.ENABLED else 0.0
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(state: TrainState, images, pids, camids, trackids, perm, lr, key,
+              text_feats=None):
+        train0, frozen = optimizer.partition(state.params)
+
+        def body(carry, idx):
+            train_sub, opt_state, bstats, centers, k = carry
+            k, sk = jax.random.split(k)
+            batch = {
+                "images": jnp.take(images, idx, axis=0),
+                "pids": jnp.take(pids, idx, axis=0),
+                "camids": jnp.take(camids, idx, axis=0),
+                "trackids": jnp.take(trackids, idx, axis=0),
+            }
+            new_train, new_opt, bs, new_centers, loss, acc = _train_step_impl(
+                model, cfg, loss_fn, optimizer, uniprompt, aug, use_center,
+                center_weight, center_lr, aux_coeff,
+                train_sub, frozen, opt_state, bstats, centers,
+                batch, lr, sk, text_feats,
+            )
+            return (new_train, new_opt, bs, new_centers, k), (loss, acc)
+
+        init = (train0, state.opt_state, state.batch_stats, state.centers, key)
+        (train_f, opt_f, bs_f, centers_f, _), (losses, accs) = jax.lax.scan(
+            body, init, perm
+        )
+        new_state = TrainState(
+            params=optimizer.merge(train_f, frozen),
+            batch_stats=bs_f, opt_state=opt_f, centers=centers_f,
+        )
+        return new_state, (losses, accs)
+
+    if uniprompt and text_features is not None:
+        return functools.partial(epoch, text_feats=text_features)
+    return epoch
 
 
 def make_eval_step(model, cfg):

@@ -200,6 +200,22 @@ def do_train_stage2(
         center_weight=s2.CENTER_LOSS_WEIGHT if with_center else None,
         center_lr=s2.CENTER_LR if with_center else None,
     )
+    device_data = None
+    epoch_fn = None
+    if getattr(cfg.TPU, "DEVICE_DATASET", False) and mesh is None:
+        from .processor import build_device_dataset, epoch_perm
+        from .steps import make_train_epoch
+
+        device_data = build_device_dataset(train_loader_stage2)
+        epoch_fn = make_train_epoch(
+            model, cfg, loss_fn, optimizer, uniprompt=True,
+            text_features=text_features,
+            center_weight=s2.CENTER_LOSS_WEIGHT if with_center else None,
+            center_lr=s2.CENTER_LR if with_center else None,
+        )
+        logger.info(
+            f"Device-resident dataset: {device_data[0].shape[0]} images in HBM"
+        )
     state = initial_state(variables, optimizer, centers=centers if with_center else None)
 
     loss_meter, acc_meter = AverageMeter(), AverageMeter()
@@ -211,6 +227,35 @@ def do_train_stage2(
         loss_meter.reset()
         acc_meter.reset()
         lr = scheduler(epoch)
+        if epoch_fn is not None:
+            from .processor import epoch_perm
+
+            perm = epoch_perm(train_loader_stage2, epoch, cfg.SOLVER.SEED)
+            key, epoch_key = jax.random.split(key)
+            state, (losses, accs) = epoch_fn(
+                state, *device_data, jnp.asarray(perm), lr, epoch_key
+            )
+            losses, accs = np.asarray(losses), np.asarray(accs)
+            bsz = train_loader_stage2.batcher.batch_size
+            for i in range(len(losses)):
+                loss_meter.update(float(losses[i]), bsz)
+                acc_meter.update(float(accs[i]), 1)
+            n_iter = len(losses) - 1
+            jax.block_until_ready(state.params)
+            time_per_batch = (time.time() - start_time) / max(n_iter + 1, 1)
+            logger.info(
+                "Epoch {} done. Loss: {:.3f}, Acc: {:.3f}, Time per batch: {:.3f}[s] Speed: {:.1f}[samples/s]".format(
+                    epoch, loss_meter.avg, acc_meter.avg, time_per_batch, bsz / time_per_batch,
+                )
+            )
+            history.append({"epoch": epoch, "loss": loss_meter.avg, "acc": acc_meter.avg})
+            out_dir = cfg.OUTPUT_DIR and os.path.join(cfg.OUTPUT_DIR, cfg.DATASETS.EXP_SETTING)
+            if out_dir and epoch % checkpoint_period == 0:
+                save_checkpoint(os.path.join(out_dir, f"{cfg.MODEL.NAME}_{epoch}"), state, epoch)
+            if epoch % eval_period == 0 and val_loader is not None:
+                run_validation(cfg, model, state.params, state.batch_stats,
+                               val_loader, num_query, logger, epoch)
+            continue
         n_iter = -1
         pending = []  # device scalars; fetched at log points only
         bsz = train_loader_stage2.batcher.batch_size

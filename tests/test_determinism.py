@@ -96,3 +96,60 @@ def test_tta_straddling_batch(env):
     model, variables = tiny_model(cfg, num_classes=6)
     r1, r5 = do_inference_tta(cfg, model, variables, loaders[2], loaders[3])
     assert 0.0 <= r1 <= 1.0
+
+def test_device_epoch_equals_step_loop(env):
+    """TPU.DEVICE_DATASET compiled-epoch scan must match per-step training."""
+    from mpreid_tpu.engine.processor import build_device_dataset, epoch_perm
+    from mpreid_tpu.engine.steps import make_train_epoch, make_train_step
+
+    cfg = env.clone()
+    model, variables = tiny_model(cfg, num_classes=6)
+    loss_fn, _ = make_loss(cfg, 6)
+    loaders = make_dataloader(cfg)
+    train_loader = loaders[0]
+    opt = make_optimizer(cfg.SOLVER, variables["params"], stage="baseline")
+    v_copy = jax.tree_util.tree_map(jnp.array, variables)
+
+    images, pids, camids, trackids = build_device_dataset(train_loader)
+    perm = epoch_perm(train_loader, epoch=1, seed=cfg.SOLVER.SEED)
+    key = jax.random.PRNGKey(3)
+
+    epoch_fn = make_train_epoch(model, cfg, loss_fn, opt)
+    state_a = initial_state(variables, opt)
+    state_a, (losses_a, accs_a) = epoch_fn(
+        state_a, images, pids, camids, trackids, jnp.asarray(perm), 1e-3, key)
+
+    step_fn = make_train_step(model, cfg, loss_fn, opt)
+    state_b = initial_state(v_copy, opt)
+    k = key
+    losses_b = []
+    for i in range(perm.shape[0]):
+        sel = perm[i]
+        k, sk = jax.random.split(k)
+        batch = {
+            "images": jnp.take(images, jnp.asarray(sel), axis=0),
+            "pids": jnp.take(pids, jnp.asarray(sel), axis=0),
+            "camids": jnp.take(camids, jnp.asarray(sel), axis=0),
+            "trackids": jnp.take(trackids, jnp.asarray(sel), axis=0),
+        }
+        state_b, m = step_fn(state_b, batch, 1e-3, sk)
+        losses_b.append(float(m["loss"]))
+
+    np.testing.assert_allclose(np.asarray(losses_a), losses_b, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_do_train_device_dataset_mode(env):
+    """End-to-end do_train with TPU.DEVICE_DATASET learns on the synthetic set."""
+    cfg = env.clone()
+    cfg.TPU.DEVICE_DATASET = True
+    model, variables = tiny_model(cfg, num_classes=6)
+    loss_fn, _ = make_loss(cfg, 6)
+    loaders = make_dataloader(cfg)
+    opt = make_optimizer(cfg.SOLVER, variables["params"], stage="baseline")
+    state, hist = do_train(cfg, model, variables, loaders[0], None, opt,
+                           lambda e: 3e-3, loss_fn, loaders[3], max_epochs=3)
+    assert hist[-1]["loss"] < hist[0]["loss"]
