@@ -201,3 +201,20 @@ def test_checkpoint_roundtrip(tmp_path, market_env):
     b = jax.tree_util.tree_leaves(restored["params"])
     assert len(a) == len(b)
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_stage2_device_dataset_mode(mmmp_env):
+    """Stage-2 fine-tune with TPU.DEVICE_DATASET runs end-to-end and learns."""
+    cfg, (tl2, tl1, val, num_query, num_classes, cams, views) = mmmp_env
+    cfg = cfg.clone()
+    cfg.TPU.DEVICE_DATASET = True
+    model, variables = tiny_model(cfg, num_classes=num_classes, uniprompt=True)
+    loss_fn, _ = make_loss(cfg, num_classes)
+    cfg.SOLVER.STAGE2.BASE_LR = 1e-3
+    opt = make_optimizer(cfg.SOLVER.STAGE2, variables["params"], stage="stage2b")
+    variables, hist = do_train_stage2(
+        cfg, model, variables, tl2, None, opt, lambda e: 1e-3, loss_fn,
+        num_query, num_classes, max_epochs=3,
+    )
+    assert len(hist) == 3
+    assert hist[-1]["loss"] < hist[0]["loss"]
