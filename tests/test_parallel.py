@@ -108,3 +108,29 @@ class TestMeshPlacement:
             .sharding.spec[0] == "model"
         )
         assert placed["params"]["bottleneck"]["scale"].sharding.spec == ()
+
+
+def test_rerank_shards_over_mesh():
+    """k-reciprocal re-ranking partitions row-parallel under GSPMD: sharded
+    query/gallery inputs give the same distmat as single-device (the multi-
+    hot/matmul formulation has no data-dependent shapes to block it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mpreid_tpu.ops.reranking import re_ranking
+    from mpreid_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(0)
+    qf = rng.randn(64, 32).astype(np.float32)
+    gf = rng.randn(192, 32).astype(np.float32)
+
+    d1 = np.asarray(re_ranking(jnp.asarray(qf), jnp.asarray(gf), k1=20, k2=6))
+
+    mesh = make_mesh(data=8, model=1)
+    qs = jax.device_put(qf, NamedSharding(mesh, P("data", None)))
+    gs = jax.device_put(gf, NamedSharding(mesh, P("data", None)))
+    with mesh:
+        d8 = np.asarray(re_ranking(qs, gs, k1=20, k2=6))
+    np.testing.assert_allclose(d1, d8, atol=1e-5)
