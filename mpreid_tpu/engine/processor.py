@@ -224,9 +224,17 @@ def do_train(
 
             perm = epoch_perm(train_loader, epoch, cfg.SOLVER.SEED)
             key, epoch_key = jax.random.split(key)
+            # profile the second epoch (the first carries the compile)
+            profiling = bool(cfg.TPU.PROFILE_DIR) and epoch == start_epoch + 1
+            if profiling:
+                jax.profiler.start_trace(cfg.TPU.PROFILE_DIR)
             state, (losses, accs) = epoch_fn(
                 state, *device_data, jnp.asarray(perm), lr, epoch_key
             )
+            if profiling:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                logger.info(f"Wrote profiler trace to {cfg.TPU.PROFILE_DIR}")
             losses = np.asarray(losses)
             accs = np.asarray(accs)
             for i in range(len(losses)):
