@@ -128,16 +128,27 @@ def build_device_dataset(train_loader):
 
 
 def epoch_perm(train_loader, epoch: int, seed: int) -> np.ndarray:
-    """(n_batches, batch) index matrix for one epoch (full batches only)."""
+    """(n_batches, batch) index matrix for one epoch (full batches only).
+
+    The batch count is FIXED across epochs (anchored to epoch 0's): the PK
+    sampler's tail varies by a few batches per epoch, and a varying perm
+    shape would recompile the whole epoch scan every epoch. Short epochs
+    wrap around; long ones truncate.
+    """
     batcher = train_loader.batcher
     bs = batcher.batch_size
     if hasattr(train_loader, "sampler"):
-        idxs = train_loader.sampler.epoch_indices(epoch)
+        idxs = np.asarray(train_loader.sampler.epoch_indices(epoch))
+        n0 = len(train_loader.sampler.epoch_indices(0))
     else:
         rng = np.random.default_rng(seed + epoch)
         idxs = rng.permutation(len(batcher.records))
-    usable = len(idxs) - len(idxs) % bs
-    return np.asarray(idxs[:usable]).reshape(-1, bs)
+        n0 = len(idxs)
+    n_fixed = n0 - n0 % bs
+    if len(idxs) < n_fixed and len(idxs):
+        reps = -(-n_fixed // len(idxs))  # ceil
+        idxs = np.tile(idxs, reps)
+    return idxs[:n_fixed].reshape(-1, bs)
 
 
 def do_train(

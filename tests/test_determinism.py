@@ -153,3 +153,14 @@ def test_do_train_device_dataset_mode(env):
     state, hist = do_train(cfg, model, variables, loaders[0], None, opt,
                            lambda e: 3e-3, loss_fn, loaders[3], max_epochs=3)
     assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_epoch_perm_shape_constant_across_epochs(env):
+    """Varying per-epoch PK-tail lengths must not change the perm shape —
+    a shape change would recompile the whole device-dataset epoch scan."""
+    from mpreid_tpu.engine.processor import epoch_perm
+
+    cfg = env
+    loaders = make_dataloader(cfg)
+    shapes = {epoch_perm(loaders[0], e, cfg.SOLVER.SEED).shape for e in range(1, 9)}
+    assert len(shapes) == 1, shapes
