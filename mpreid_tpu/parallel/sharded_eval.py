@@ -107,9 +107,34 @@ def _sharded_cmc_map_impl(
 
         search_l = jax.vmap(lambda row, t: jnp.searchsorted(row, t, side="left"))
         search_r = jax.vmap(lambda row, t: jnp.searchsorted(row, t, side="right"))
-        # rank(t) = 1 + #kept strictly closer (global); rel_leq(t) = #relevant ≤ t
-        ranks = jax.lax.psum(search_l(d_kept_sorted, thresholds), "data") + 1
-        cnt_rel = jax.lax.psum(search_r(d_rel_sorted, thresholds), "data")
+
+        # Tie handling: exact f32 distance ties between relevant items DO
+        # occur; without a tie-break each tied item would count the whole
+        # tie group ("rank 1 + strictly-closer" twice → prec 2/1 + 2/1
+        # instead of 1/1 + 2/2), inflating AP. Assign each threshold a
+        # deterministic occurrence index j among equal-valued thresholds
+        # (shard-major, slot order); relevant-first vs tied irrelevant
+        # items, matching the dense path's sort for rel-rel ties.
+        # j is assembled distributively: each shard contributes its count
+        # of equal relevant values for thresholds that originate in LATER
+        # shards, and the within-block prefix count for its own columns.
+        n_sh = jax.lax.axis_size("data")
+        s_id = jax.lax.axis_index("data")
+        col = jnp.arange(n_sh * k)
+        origin = col // k
+        slot = col % k
+        cnt_rel_l = search_l(d_rel_sorted, thresholds)
+        cnt_rel_r = search_r(d_rel_sorted, thresholds)
+        contrib = jnp.where(
+            s_id < origin[None, :], cnt_rel_r - cnt_rel_l,
+            jnp.where(s_id == origin[None, :], slot[None, :] - cnt_rel_l, 0),
+        )
+        j = jax.lax.psum(contrib, "data")
+
+        # rank(t) = 1 + #kept strictly closer (global) + tie index;
+        # cnt_rel(t) = #relevant strictly closer + tie index + 1
+        ranks = jax.lax.psum(search_l(d_kept_sorted, thresholds), "data") + 1 + j
+        cnt_rel = jax.lax.psum(cnt_rel_l, "data") + 1 + j
 
         valid_t = jnp.isfinite(thresholds)
         prec = jnp.where(

@@ -82,6 +82,95 @@ class TestShardedCmcMap:
         assert np.isclose(float(mAP), float(map_ref), atol=1e-6)
 
 
+class TestShardedCmcMapTies:
+    def test_exact_distance_ties_across_shards(self, mesh):
+        """Regression: tied relevant distances must not inflate AP.
+
+        Exact f32 ties happen in practice (duplicate gallery rows here force
+        them, placed in different shards so the cross-shard tie-index path is
+        exercised). Without the tie-break, each tied item counts the whole
+        tie group (prec 2/1 + 2/1 instead of 1/1 + 2/2)."""
+        qf, gf, qp, gp, qc, gc = eval_data(seed=7, q=16, g=64)
+        # duplicate rows with same pid in different shards (shard size 8)
+        for a, b in [(3, 11), (20, 44), (5, 61)]:
+            gf[b] = gf[a]
+            gp[b] = gp[a]
+        dense = euclidean_squared_distmat(jnp.asarray(qf), jnp.asarray(gf))
+        for camera_filter in (False, True):
+            cmc_ref, map_ref = cmc_map(
+                dense, jnp.asarray(qp), jnp.asarray(gp), jnp.asarray(qc),
+                jnp.asarray(gc), max_rank=20, camera_filter=camera_filter,
+            )
+            cmc, mAP = sharded_cmc_map(
+                jnp.asarray(qf), jnp.asarray(gf), qp, gp, qc, gc, mesh,
+                max_rank=20, camera_filter=camera_filter,
+            )
+            np.testing.assert_allclose(
+                np.asarray(cmc), np.asarray(cmc_ref), atol=1e-6
+            )
+            assert np.isclose(float(mAP), float(map_ref), atol=1e-6)
+
+
+class TestRaggedGalleryShardedEval:
+    """G not divisible by the mesh: the processor pads with never-relevant
+    dummies (engine/processor.py) — metrics must stay exact (the claim in
+    docs/PARALLELISM.md)."""
+
+    @pytest.mark.parametrize("camera_filter", [False, True])
+    def test_eval_sharded_matches_dense_through_run_validation(
+        self, camera_filter, monkeypatch
+    ):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from tiny import tiny_cfg, tiny_model
+        from mpreid_tpu.engine.processor import run_validation
+
+        num_query, gallery = 13, 83  # 83 % 8 != 0
+        total = num_query + gallery
+        bs = 16
+        rng = np.random.RandomState(11)
+        n_batches = -(-total // bs)
+        pids = rng.randint(0, 6, total).astype(np.int32)
+        pids[:num_query] = np.arange(num_query) % 6  # queries hit gallery ids
+        camids = rng.randint(0, 4, total).astype(np.int32)
+        images = rng.randint(0, 255, (n_batches * bs, 32, 16, 3), np.uint8)
+
+        batches = []
+        for b in range(n_batches):
+            lo = b * bs
+            count = min(bs, total - lo)
+            sl = slice(lo, lo + bs)
+            pid_b = np.zeros(bs, np.int32)
+            cam_b = np.zeros(bs, np.int32)
+            pid_b[:count] = pids[lo:lo + count]
+            cam_b[:count] = camids[lo:lo + count]
+            batches.append({
+                "images": images[sl], "pids": pid_b, "camids": cam_b,
+                "trackids": np.zeros(bs, np.int32), "count": count,
+            })
+
+        class FakeValLoader:
+            def iter_sequential(self):
+                yield from batches
+
+        cfg = tiny_cfg()
+        cfg.TEST.CAMERA_FILTER = camera_filter
+        model, variables = tiny_model(cfg, num_classes=6)
+        args = (cfg, model, variables["params"],
+                variables.get("batch_stats", {}), FakeValLoader(), num_query)
+
+        cfg.TPU.EVAL_SHARDED = False
+        cmc_dense, map_dense = run_validation(*args)
+        cfg.TPU.EVAL_SHARDED = True
+        assert len(jax.devices()) == 8  # sharded branch actually taken
+        cmc_sh, map_sh = run_validation(*args)
+
+        np.testing.assert_allclose(
+            np.asarray(cmc_sh), np.asarray(cmc_dense), atol=1e-5
+        )
+        assert np.isclose(float(map_sh), float(map_dense), atol=1e-5)
+
+
 class TestMeshPlacement:
     def test_batch_sharding(self, mesh):
         batch = {"images": np.zeros((16, 8, 4, 3), np.uint8),
