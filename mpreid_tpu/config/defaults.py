@@ -67,6 +67,9 @@ def get_default_cfg() -> CN:
     _C.MODEL.NO_MARGIN = False
     _C.MODEL.IF_LABELSMOOTH = "on"
     _C.MODEL.COS_LAYER = False
+    # margin head used when COS_LAYER is on (the reference stores the flag at
+    # make_model.py:34 but never consumes it; here it is wired)
+    _C.MODEL.COS_LAYER_TYPE = "arcface"
     _C.MODEL.DROP_PATH = 0.1
     _C.MODEL.DROP_OUT = 0.0
     _C.MODEL.ATT_DROP_RATE = 0.0

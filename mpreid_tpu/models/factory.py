@@ -60,6 +60,7 @@ def _common_kwargs(cfg, num_class, camera_num, view_num) -> Dict[str, Any]:
         sie_view=cfg.MODEL.SIE_VIEW,
         sie_coe=cfg.MODEL.SIE_COE,
         neck_feat=cfg.TEST.NECK_FEAT,
+        cos_layer=cfg.MODEL.COS_LAYER_TYPE if cfg.MODEL.COS_LAYER else "",
         dtype=jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32,
         remat=cfg.TPU.REMAT,
     )

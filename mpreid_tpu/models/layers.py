@@ -208,3 +208,43 @@ class BNNeck(nn.Module):
 
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
         return y.astype(x.dtype)
+
+
+class MarginHead(nn.Module):
+    """Margin classifier head — the wired version of ``MODEL.COS_LAYER``.
+
+    The reference stores the flag (``model/make_model.py:34``) but never
+    consumes it, and its margin modules (``loss/metric_learning.py:45-188``,
+    ``loss/arcface.py``) are unreachable from any pipeline. Here the flag
+    selects this head in place of the plain bias-free Dense classifier: it
+    holds the (num_classes, feat) weight and emits margin logits at train
+    time (labels required). With ``labels=None`` (eval) it returns plain
+    scaled cosine logits, the standard ArcFace/CosFace inference behavior.
+    """
+
+    num_classes: int
+    kind: str = "arcface"  # arcface | cosface | amsoftmax | circle
+    scale: float = 30.0
+
+    @nn.compact
+    def __call__(self, features: jax.Array, labels: Optional[jax.Array] = None) -> jax.Array:
+        from mpreid_tpu.losses import margin as M
+
+        weight = self.param(
+            "weight", nn.initializers.normal(stddev=0.001),
+            (self.num_classes, features.shape[-1]), jnp.float32,
+        )
+        if labels is None:
+            return self.scale * M._cosine_logits(features, weight)
+        if self.kind == "arcface":
+            return M.arcface_logits(features, weight, labels, s=self.scale)
+        if self.kind == "cosface":
+            return M.cosface_logits(features, weight, labels, s=self.scale)
+        if self.kind == "amsoftmax":
+            return M.amsoftmax_logits(features, weight.T, labels, s=self.scale)
+        if self.kind == "circle":
+            return M.circle_logits(features, weight, labels)
+        raise ValueError(
+            f"Unknown MODEL.COS_LAYER_TYPE {self.kind!r}; expected "
+            "arcface|cosface|amsoftmax|circle"
+        )

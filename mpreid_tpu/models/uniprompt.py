@@ -31,7 +31,7 @@ import numpy as np
 import flax.linen as nn
 
 from .clip_model import CLIPConfig, make_text_tower, make_visual_tower
-from .layers import BNNeck
+from .layers import BNNeck, MarginHead
 from .reid import classifier_init
 from .tokenizer import tokenize
 
@@ -123,6 +123,9 @@ class UniPromptReID(nn.Module):
     sie_view: bool = False
     sie_coe: float = 3.0
     neck_feat: str = "after"
+    # '' = plain Dense classifiers; else a margin head kind
+    # (arcface|cosface|amsoftmax|circle) — the wired MODEL.COS_LAYER
+    cos_layer: str = ""
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
@@ -147,14 +150,18 @@ class UniPromptReID(nn.Module):
         )
         self.bottleneck = BNNeck(self.in_planes)
         self.bottleneck_proj = BNNeck(self.in_planes_proj)
-        self.classifier = nn.Dense(
-            self.num_classes, use_bias=False, kernel_init=classifier_init,
-            dtype=jnp.float32, param_dtype=jnp.float32,
-        )
-        self.classifier_proj = nn.Dense(
-            self.num_classes, use_bias=False, kernel_init=classifier_init,
-            dtype=jnp.float32, param_dtype=jnp.float32,
-        )
+        if self.cos_layer:
+            self.classifier = MarginHead(self.num_classes, kind=self.cos_layer)
+            self.classifier_proj = MarginHead(self.num_classes, kind=self.cos_layer)
+        else:
+            self.classifier = nn.Dense(
+                self.num_classes, use_bias=False, kernel_init=classifier_init,
+                dtype=jnp.float32, param_dtype=jnp.float32,
+            )
+            self.classifier_proj = nn.Dense(
+                self.num_classes, use_bias=False, kernel_init=classifier_init,
+                dtype=jnp.float32, param_dtype=jnp.float32,
+            )
         # learned visual prompt (ref :112-114) — added to projected tokens
         self.visual_prompt = self.param(
             "visual_prompt",
@@ -267,8 +274,14 @@ class UniPromptReID(nn.Module):
         )
         feat_bn = self.bottleneck(feat, train=True)
         feat_proj_bn = self.bottleneck_proj(feat_proj, train=True)
-        cls_score = self.classifier(feat_bn.astype(jnp.float32))
-        cls_score_proj = self.classifier_proj(feat_proj_bn.astype(jnp.float32))
+        if self.cos_layer:
+            cls_score = self.classifier(feat_bn.astype(jnp.float32), label)
+            cls_score_proj = self.classifier_proj(
+                feat_proj_bn.astype(jnp.float32), label
+            )
+        else:
+            cls_score = self.classifier(feat_bn.astype(jnp.float32))
+            cls_score_proj = self.classifier_proj(feat_proj_bn.astype(jnp.float32))
         out = {
             "scores": [cls_score, cls_score_proj],
             "feats": [feat_last, feat, feat_proj],
