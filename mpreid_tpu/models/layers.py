@@ -68,9 +68,8 @@ class MultiHeadAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
         # x: (B, L, D). mask: additive (L, L) or None.
-        b, l, d = x.shape
+        d = x.shape[-1]
         assert d == self.dim
-        head_dim = d // self.num_heads
 
         in_kernel = self.param(
             "in_proj_kernel", nn.initializers.xavier_uniform(), (d, 3 * d), jnp.float32
@@ -97,22 +96,13 @@ class MultiHeadAttention(nn.Module):
                 preferred_element_type=jnp.float32,
             )
             qkv = qkv + (scale * delta).astype(self.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # Attention core: Pallas fused kernel on TPU (per-batch-element
+        # scores/softmax/values resident in VMEM — no head transposes or fp32
+        # score tensors in HBM), identical-math XLA einsum elsewhere. fp32
+        # logits + softmax for numerical parity with torch's fp32 softmax.
+        from mpreid_tpu.ops.attention import fused_attention
 
-        def heads(t):
-            return t.reshape(b, l, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(q), heads(k), heads(v)
-        scale = head_dim**-0.5
-        # fp32 logits + softmax for numerical parity with torch's fp32 softmax.
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-        if mask is not None:
-            logits = logits + mask.astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
-        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, l, d)
+        out = fused_attention(qkv, self.num_heads, mask)
 
         out_kernel = self.param(
             "out_proj_kernel", nn.initializers.xavier_uniform(), (d, d), jnp.float32

@@ -44,13 +44,29 @@ def _random_flip(img: jax.Array, key: jax.Array, prob: float) -> jax.Array:
     return jnp.where(flip, img[:, ::-1, :], img)
 
 
-def _pad_crop(img: jax.Array, key: jax.Array, padding: int) -> jax.Array:
-    h, w, c = img.shape
-    padded = jnp.pad(img, ((padding, padding), (padding, padding), (0, 0)))
-    ky, kx = jax.random.split(key)
-    oy = jax.random.randint(ky, (), 0, 2 * padding + 1)
-    ox = jax.random.randint(kx, (), 0, 2 * padding + 1)
-    return jax.lax.dynamic_slice(padded, (oy, ox, 0), (h, w, c))
+def _pad_crop_batch(imgs: jax.Array, keys: jax.Array, padding: int) -> jax.Array:
+    """Batched pad-and-random-crop via two gathers.
+
+    A vmapped per-image ``dynamic_slice`` lowers to a while loop +
+    dynamic-update-slice on TPU (~1.8 ms/step at batch 64 in the stage-2
+    profile); expressing the crop as row/column gathers keeps it one
+    vectorized op pair. Key usage matches the original per-image formulation
+    (split → (ky, kx) → randint) so augmented pixels are bit-identical."""
+    b, h, w, c = imgs.shape
+    padded = jnp.pad(imgs, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+
+    def offsets(key):
+        ky, kx = jax.random.split(key)
+        return (
+            jax.random.randint(ky, (), 0, 2 * padding + 1),
+            jax.random.randint(kx, (), 0, 2 * padding + 1),
+        )
+
+    oy, ox = jax.vmap(offsets)(keys)
+    rows = oy[:, None] + jnp.arange(h)[None, :]                      # (B, H)
+    cols = ox[:, None] + jnp.arange(w)[None, :]                      # (B, W)
+    x = jnp.take_along_axis(padded, rows[:, :, None, None], axis=1)  # (B,H,W+2p,C)
+    return jnp.take_along_axis(x, cols[:, None, :, None], axis=2)    # (B,H,W,C)
 
 
 def _random_erase(img: jax.Array, key: jax.Array, prob: float) -> jax.Array:
@@ -97,12 +113,13 @@ def train_augment(
     b = images_u8.shape[0]
     keys = jax.random.split(key, b)
 
-    def geom(img, k):
+    def flip_one(img, k):
         k_flip, k_crop = jax.random.split(k)
-        img = _random_flip(img.astype(jnp.float32) / 255.0, k_flip, flip_prob)
-        return _pad_crop(img, k_crop, padding)
+        return _random_flip(img.astype(jnp.float32) / 255.0, k_flip, flip_prob), k_crop
 
-    x = jax.vmap(geom)(images_u8, keys)
+    x, crop_keys = jax.vmap(flip_one)(images_u8, keys)
+    if padding:
+        x = _pad_crop_batch(x, crop_keys, padding)
     x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
     # fold_in with a constant outside split()'s index range so erase keys are
     # independent of the flip/crop keys (fold_in(k, 1) == split(k)[1])

@@ -245,3 +245,29 @@ def test_identity_signal_fixture_is_learnable(tmp_path):
     intra = d[same & off_diag].mean()
     inter = d[~same].mean()
     assert intra < inter * 0.8, (intra, inter)
+
+
+def test_pad_crop_batch_matches_per_image_dynamic_slice():
+    """The gather-based batched crop is bit-identical to the original
+    per-image pad + dynamic_slice formulation (same key usage)."""
+    import jax
+    import jax.numpy as jnp
+    from mpreid_tpu.ops.augment import _pad_crop_batch
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(5, 12, 7, 3).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(3), 5)
+    padding = 4
+
+    got = _pad_crop_batch(imgs, keys, padding)
+
+    def per_image(img, key):
+        h, w, c = img.shape
+        padded = jnp.pad(img, ((padding, padding), (padding, padding), (0, 0)))
+        ky, kx = jax.random.split(key)
+        oy = jax.random.randint(ky, (), 0, 2 * padding + 1)
+        ox = jax.random.randint(kx, (), 0, 2 * padding + 1)
+        return jax.lax.dynamic_slice(padded, (oy, ox, 0), (h, w, c))
+
+    exp = jax.vmap(per_image)(imgs, keys)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))

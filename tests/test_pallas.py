@@ -75,3 +75,63 @@ class TestL1Cross:
         )
         exp = np.abs(a[:, None, :] - b[None, :, :]).sum(-1)
         np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-3)
+
+
+class TestFusedAttention:
+    """Pallas fused MHA vs the XLA einsum path (the pre-kernel math)."""
+
+    def _qkv(self, b, l, d, seed=0, dtype=np.float32):
+        rng = np.random.RandomState(seed)
+        return jnp.asarray(rng.randn(b, l, 3 * d).astype(np.float32) * 0.3,
+                           dtype=dtype)
+
+    @pytest.mark.parametrize("b,l,d,h", [(2, 129, 128, 2), (3, 77, 64, 1)])
+    def test_forward_matches_reference(self, b, l, d, h):
+        from mpreid_tpu.ops.attention import fused_attention, mha_reference
+
+        qkv = self._qkv(b, l, d)
+        got = fused_attention(qkv, h, force="interpret")
+        exp = mha_reference(qkv, h)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_forward_with_causal_mask(self):
+        from mpreid_tpu.ops.attention import fused_attention, mha_reference
+
+        l, d, h = 77, 64, 2
+        qkv = self._qkv(2, l, d, seed=1)
+        mask = jnp.triu(jnp.full((l, l), -1e9, jnp.float32), k=1)
+        got = fused_attention(qkv, h, mask, force="interpret")
+        exp = mha_reference(qkv, h, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_backward_matches_autodiff_of_reference(self, use_mask):
+        from mpreid_tpu.ops.attention import fused_attention, mha_reference
+
+        b, l, d, h = 2, 33, 64, 2
+        qkv = self._qkv(b, l, d, seed=2)
+        mask = (jnp.triu(jnp.full((l, l), -1e9, jnp.float32), k=1)
+                if use_mask else None)
+        cot = jnp.asarray(
+            np.random.RandomState(3).randn(b, l, d).astype(np.float32)
+        )
+
+        g_fused = jax.grad(
+            lambda x: jnp.sum(fused_attention(x, h, mask, force="interpret") * cot)
+        )(qkv)
+        g_ref = jax.grad(
+            lambda x: jnp.sum(mha_reference(x, h, mask) * cot)
+        )(qkv)
+        np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_bf16_forward_close(self):
+        from mpreid_tpu.ops.attention import fused_attention, mha_reference
+
+        qkv = self._qkv(2, 33, 128, seed=4, dtype=jnp.bfloat16)
+        got = fused_attention(qkv, 2, force="interpret").astype(jnp.float32)
+        exp = mha_reference(qkv, 2).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                   rtol=2e-2, atol=2e-2)
