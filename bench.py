@@ -26,6 +26,76 @@ REFERENCE_STAGE1A_IMG_PER_SEC = 945.0  # see module docstring
 # k1=50, k2=15): 228.5 s. Same data through our TPU fast path below.
 REFERENCE_RERANK_SECONDS = 228.5
 
+# Nominal dense bf16 peak TFLOP/s by device_kind, for the MFU denominator.
+# (Public spec-sheet numbers; the empirically measured matmul ceiling is
+# reported alongside and is the more honest denominator on this host.)
+PEAK_BF16_TFLOPS = {
+    "TPU v2": 45.0,
+    "TPU v3": 123.0,
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+    "TPU7x": 2307.0,
+}
+
+
+def vit_flops_per_image(clip_config, num_classes: int) -> float:
+    """Analytic forward FLOPs/image of the ReID ViT path (matmuls only;
+    elementwise/LN are <1% and ride the VPU).
+
+    Counts: conv patchify, per-block QKV/out projections (8·N·D²), attention
+    score+value matmuls (4·N²·D), MLP (16·N·D²), final LN proj of all tokens
+    (ref clip/model.py:471-474 projects every token), BNNeck classifiers.
+    """
+    c = clip_config
+    n = c.h_resolution * c.w_resolution + 1
+    d = c.vision_width
+    e = c.embed_dim
+    per_block = 24 * n * d * d + 4 * n * n * d
+    conv = 2 * n * d * 3 * c.vision_patch_size * c.vision_patch_size
+    proj = 2 * n * d * e
+    heads = 2 * d * num_classes + 2 * e * num_classes
+    return c.vision_layers * per_block + conv + proj + heads
+
+
+def measure_matmul_ceiling_tflops(iters: int = 400, size: int = 4096) -> float:
+    """Empirical bf16 matmul ceiling on this chip: a chain of size³ matmuls
+    with a data dependency between iterations, inside one jitted scan.
+
+    The chain must be LONG: the remote TPU tunnel adds ~20 ms fixed latency
+    per result fetch, so a short chain measures the tunnel, not the MXU
+    (16 iters read 60 TFLOP/s on a chip whose 400-iter chain reads 175).
+    The inter-iteration op is a single constant scale in bf16 — any
+    reduction-based renormalization costs several HBM passes per iteration
+    and shaves ~10% off the measured ceiling."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    a = jnp.asarray(np.random.RandomState(1).randn(size, size), jnp.bfloat16)
+    b = jnp.asarray(np.random.RandomState(2).randn(size, size), jnp.bfloat16)
+
+    @jax.jit
+    def chain(a, b):
+        def body(x, _):
+            y = jnp.dot(x, b, preferred_element_type=jnp.bfloat16)
+            # constant rescale keeps the chain bounded: ||xB|| grows ~√size
+            return y * jnp.bfloat16(1.0 / 64.0), ()
+        x, _ = jax.lax.scan(body, a, None, length=iters)
+        return jnp.sum(x.astype(jnp.float32))
+
+    _ = float(chain(a, b))  # compile
+    dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = float(chain(a, b))
+        dts.append(time.perf_counter() - t0)
+    flops = iters * 2.0 * size ** 3
+    return flops / min(dts) / 1e12
+
 
 def main():
     import jax
@@ -88,6 +158,31 @@ def main():
         dts.append(time.perf_counter() - t0)
     dt = min(dts)
     img_per_sec = iters * batch / dt
+
+    # ---- stage-1a per-iter dispatch throughput ----
+    # Same workload, but one host dispatch per optimizer step instead of the
+    # compiled epoch scan — so the headline scan number can't be attributed
+    # to epoch batching alone. Steps are dispatched back-to-back (async) with
+    # one result fetch at the end; per-iter host syncs would measure the
+    # remote tunnel's RTT, not the chip.
+    step1 = make_stage1_step(model, cfg, optimizer, stage="1a")
+    state1i = initial_state(fresh(), optimizer)
+    views64 = jnp.zeros(batch, jnp.int32)
+    state1i, m1 = step1(state1i, bank[:batch], bank_labels[:batch], views64, 3.5e-4)
+    _ = float(m1["loss"])  # compile
+    iter_dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            lo = i * batch
+            state1i, m1 = step1(
+                state1i, bank[lo:lo + batch], bank_labels[lo:lo + batch],
+                views64, 3.5e-4,
+            )
+        _ = float(m1["loss"])
+        _ = float(jnp.sum(jax.tree_util.tree_leaves(state1i.params)[0]))
+        iter_dts.append(time.perf_counter() - t0)
+    stage1a_periter_img_per_sec = iters * batch / min(iter_dts)
 
     # ---- gallery feature extraction throughput (eval forward, bf16) ----
     # The whole timed loop runs inside ONE jitted lax.scan with a data
@@ -181,21 +276,50 @@ def main():
         rr_dts.append(time.perf_counter() - t0)
     rerank_seconds = min(rr_dts)
 
+    # ---- MFU: analytic model FLOPs vs the silicon ----
+    fwd_flops = vit_flops_per_image(model.clip_config, num_classes)
+    stage2_achieved_tflops = 3.0 * fwd_flops * stage2_img_per_sec / 1e12
+    eval_achieved_tflops = fwd_flops * feats_per_sec / 1e12
+    matmul_ceiling_tflops = measure_matmul_ceiling_tflops()
+    device_kind = jax.devices()[0].device_kind
+    peak = None
+    for kind, tflops in PEAK_BF16_TFLOPS.items():
+        if kind.lower() in device_kind.lower():
+            peak = tflops
+
+    extras = {
+        "gallery_feats_per_sec_per_chip": round(feats_per_sec, 1),
+        "stage2_train_img_per_sec": round(stage2_img_per_sec, 1),
+        "stage1a_sec_per_iter": round(dt / iters, 4),
+        "stage1a_img_per_sec_per_iter_dispatch": round(
+            stage1a_periter_img_per_sec, 1
+        ),
+        "market_scale_rerank_seconds": round(rerank_seconds, 2),
+        "market_scale_rerank_speedup_vs_reference_cpu": round(
+            REFERENCE_RERANK_SECONDS / rerank_seconds, 1
+        ),
+        "model_fwd_gflops_per_img": round(fwd_flops / 1e9, 2),
+        "stage2_achieved_tflops": round(stage2_achieved_tflops, 2),
+        "eval_achieved_tflops": round(eval_achieved_tflops, 2),
+        "matmul_tflops_measured": round(matmul_ceiling_tflops, 1),
+        "mfu_stage2_vs_measured_matmul": round(
+            stage2_achieved_tflops / matmul_ceiling_tflops, 3
+        ),
+        "mfu_eval_vs_measured_matmul": round(
+            eval_achieved_tflops / matmul_ceiling_tflops, 3
+        ),
+        "peak_bf16_tflops_nominal": peak,
+        "mfu_stage2": round(stage2_achieved_tflops / peak, 3) if peak else None,
+        "mfu_eval": round(eval_achieved_tflops / peak, 3) if peak else None,
+        "device": str(jax.devices()[0]),
+        "device_kind": device_kind,
+    }
     print(json.dumps({
         "metric": "stage1a_prompt_train_img_per_sec",
         "value": round(img_per_sec, 1),
         "unit": "img/s",
         "vs_baseline": round(img_per_sec / REFERENCE_STAGE1A_IMG_PER_SEC, 3),
-        "extras": {
-            "gallery_feats_per_sec_per_chip": round(feats_per_sec, 1),
-            "stage2_train_img_per_sec": round(stage2_img_per_sec, 1),
-            "stage1a_sec_per_iter": round(dt / iters, 4),
-            "market_scale_rerank_seconds": round(rerank_seconds, 2),
-            "market_scale_rerank_speedup_vs_reference_cpu": round(
-                REFERENCE_RERANK_SECONDS / rerank_seconds, 1
-            ),
-            "device": str(jax.devices()[0]),
-        },
+        "extras": extras,
     }))
 
 
