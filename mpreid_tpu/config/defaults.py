@@ -56,6 +56,11 @@ def get_default_cfg() -> CN:
     _C.MODEL.LAST_STRIDE = 1
     _C.MODEL.PRETRAIN_PATH = ""
     _C.MODEL.PRETRAIN_CHOICE = "imagenet"
+    # with no PRETRAIN_PATH, download the OpenAI CLIP checkpoint for
+    # MODEL.NAME (SHA256-verified, ~/.cache/clip) like the reference always
+    # does (ref model/clip/clip.py:39-68). Off by default so egress-free
+    # hosts and unit tests can build randomly-initialized models.
+    _C.MODEL.PRETRAIN_AUTO = False
     _C.MODEL.NECK = "bnneck"
     _C.MODEL.IF_WITH_CENTER = "no"
     _C.MODEL.ID_LOSS_TYPE = "softmax"

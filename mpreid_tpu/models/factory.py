@@ -216,8 +216,18 @@ def switch_to_moe(cfg, model, variables) -> Tuple[Any, Dict[str, Any]]:
 def load_pretrained(
     variables: Dict[str, Any], cfg, path: Optional[str] = None
 ) -> Dict[str, Any]:
-    """Load OpenAI CLIP weights from a local ``.pt`` into model variables."""
+    """Load OpenAI CLIP weights into model variables.
+
+    Resolution order: explicit ``path`` → ``MODEL.PRETRAIN_PATH`` → the
+    SHA256-verified download of the MODEL.NAME checkpoint (ref
+    ``model/clip/clip.py:39-68``; requires egress or a pre-seeded
+    ``~/.cache/clip``).
+    """
     path = path or cfg.MODEL.PRETRAIN_PATH
+    if not path:
+        from .download import download_clip
+
+        path = download_clip(cfg.MODEL.NAME)
     c = clip_config_from_cfg(cfg)
     _, clip_vars = load_torch_clip(
         path, c.h_resolution, c.w_resolution, c.vision_stride_size,

@@ -72,12 +72,13 @@ def main():
     model = make_model_uniprompt(stage1_cfg, num_class=num_classes,
                                  camera_num=camera_num, view_num=view_num)
     variables = init_variables(model, jax.random.PRNGKey(cfg.SOLVER.SEED), cfg)
-    if cfg.MODEL.PRETRAIN_PATH:
+    if cfg.MODEL.PRETRAIN_PATH or cfg.MODEL.PRETRAIN_AUTO:
         # use the dense stage-1 config: with MOE enabled, cfg would make the
         # converter emit an MoE-structured visual tree that cannot graft
         # into the dense stage-1 model
         variables = load_pretrained(variables, stage1_cfg)
-        logger.info(f"Loaded CLIP weights from {cfg.MODEL.PRETRAIN_PATH}")
+        logger.info(f"Loaded CLIP weights from "
+                    f"{cfg.MODEL.PRETRAIN_PATH or 'auto-downloaded checkpoint'}")
 
     loss_fn, (center_init, _) = make_loss(cfg, num_classes=num_classes)
     centers = None
