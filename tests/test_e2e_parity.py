@@ -122,13 +122,24 @@ def _cuda_noop_patches():
             return self
         return orig_to(self, *args, **kwargs)
 
+    # the reference margin heads allocate one-hots with a hardcoded
+    # device='cuda' (ref loss/arcface.py:42, metric_learning.py:145,184)
+    orig_zeros = torch.zeros
+
+    def fake_zeros(*args, **kwargs):
+        if _is_cuda(kwargs.get("device")):
+            kwargs["device"] = "cpu"
+        return orig_zeros(*args, **kwargs)
+
     nn.Module.to = fake_to
     nn.Module.cuda = lambda self, *a, **k: self
     torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.zeros = fake_zeros
     yield
     nn.Module.to = orig_to
     nn.Module.cuda = orig_mod_cuda
     torch.Tensor.cuda = orig_tensor_cuda
+    torch.zeros = orig_zeros
 
 
 # ---------------------------------------------------------------------------
@@ -344,6 +355,9 @@ def build_ours_from_ref(cfg, clip_sd, ref_model, uniprompt):
         num_classes=NUM_CLASSES,
         camera_num=2,
         view_num=1,
+        sie_camera=cfg.MODEL.SIE_CAMERA,
+        sie_view=cfg.MODEL.SIE_VIEW,
+        sie_coe=cfg.MODEL.SIE_COE,
         neck_feat=cfg.TEST.NECK_FEAT,
     )
     variables = init_variables(model, jax.random.PRNGKey(0), cfg)
@@ -666,3 +680,227 @@ def test_stage2a_train_parity(uniprompt_pair, clip_sd):
         our_losses.append(float(m["loss"]))
 
     np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3, atol=2e-3)
+
+
+# ===========================================================================
+# Uni-Prompt stage-1b: view-conditioned domain contexts
+# ===========================================================================
+
+
+def test_stage1b_train_parity(uniprompt_pair, clip_sd):
+    """Stage-1b steps with real view labels exercising the MMMP camera-layout
+    view→(platform, modality) map (ref make_model_uniprompt.py:334-377,
+    train_uniprompt.py:102-122)."""
+    import jax
+    import jax.numpy as jnp
+    from loss.supcontrast import SupConLoss
+    from solver.make_optimizer_prompt import make_optimizer_1stage
+
+    from mpreid_tpu.engine.steps import make_stage1_step
+    from mpreid_tpu.engine.train_state import initial_state
+    from mpreid_tpu.solver import make_optimizer
+
+    cfg, _, model, variables = uniprompt_pair
+    ref_model = build_ref_uniprompt(cfg, clip_sd)
+    ref_model.enable_stage1b_training()
+
+    rng = np.random.RandomState(8)
+    bank = rng.randn(24, EMBED_DIM).astype(np.float32)
+    bank_labels = np.tile(np.arange(NUM_CLASSES), 3).astype(np.int64)
+    # cover all four platform/modality cells: cctv_rgb, cctv_ir, uav_rgb, uav_ir
+    bank_views = rng.choice([0, 3, 7, 11, 12, 13], size=24).astype(np.int64)
+    steps = [np.arange(i * 8, (i + 1) * 8) for i in range(3)]
+
+    ref_model.train()
+    opt_ref = make_optimizer_1stage(cfg, ref_model, stage_name="STAGE1A")
+    xent = SupConLoss("cpu")
+    ref_losses = []
+    for idx in steps:
+        opt_ref.zero_grad()
+        t = torch.from_numpy(bank_labels[idx])
+        f = torch.from_numpy(bank[idx])
+        vw = torch.from_numpy(bank_views[idx])
+        tf = ref_model(label=t, get_text=True, view=vw)
+        loss = xent(f, tf, t, t) + xent(tf, f, t, t)
+        loss.backward()
+        opt_ref.step()
+        ref_losses.append(float(loss.detach()))
+
+    trainable = trainable_tree(
+        variables["params"],
+        lambda n: n.endswith(("ctx_modality", "ctx_platform"))
+        or (n.startswith("text/") and "token_embedding" not in n),
+    )
+    opt = make_optimizer(cfg.SOLVER.STAGE1A, variables["params"], trainable=trainable)
+    step = make_stage1_step(model, cfg, opt, "1b")
+    state = initial_state(jax.tree_util.tree_map(jnp.array, variables), opt)
+    our_losses = []
+    for idx in steps:
+        state, m = step(
+            state,
+            jnp.asarray(bank[idx]),
+            jnp.asarray(bank_labels[idx].astype(np.int32)),
+            jnp.asarray(bank_views[idx].astype(np.int32)),
+            cfg.SOLVER.STAGE1A.BASE_LR,
+        )
+        our_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3, atol=2e-3)
+
+
+# ===========================================================================
+# baseline with SIE camera embedding
+# ===========================================================================
+
+
+def test_baseline_sie_train_parity(clip_sd):
+    """Two train steps with MODEL.SIE_CAMERA: the camera embedding is added
+    to the class token and trained (ref make_model.py:68-79,88-96)."""
+    import jax
+    import jax.numpy as jnp
+    from loss.make_loss import make_loss as ref_make_loss
+    from solver.make_optimizer import make_optimizer as ref_make_optimizer
+
+    from mpreid_tpu.engine.steps import make_train_step
+    from mpreid_tpu.engine.train_state import initial_state
+    from mpreid_tpu.losses import make_loss
+    from mpreid_tpu.solver import make_optimizer
+
+    cfg = parity_cfg()
+    cfg.MODEL.SIE_CAMERA = True
+    cfg.MODEL.SIE_COE = 1.5
+    batches = make_batches(2, seed=21)
+    camids = [np.array([0, 1] * 4, np.int64), np.array([1, 0] * 4, np.int64)]
+
+    ref_model = build_ref_baseline(cfg, clip_sd)
+    loss_func, center_criterion = ref_make_loss(cfg, NUM_CLASSES)
+    optimizer, _ = ref_make_optimizer(cfg, ref_model, center_criterion)
+    ref_model.train()
+    ref_losses = []
+    for (imgs, pids), cams in zip(batches, camids):
+        optimizer.zero_grad()
+        target = torch.from_numpy(pids.astype(np.int64))
+        score, feat = ref_model(
+            to_torch_input(imgs), target, cam_label=torch.from_numpy(cams)
+        )
+        loss = loss_func(score, feat, target, None)
+        loss.backward()
+        optimizer.step()
+        ref_losses.append(float(loss.detach()))
+
+    ref_init = build_ref_baseline(cfg, clip_sd)
+    model, variables = build_ours_from_ref(cfg, clip_sd, ref_init, False)
+    loss_fn, _ = make_loss(cfg, NUM_CLASSES)
+    opt = make_optimizer(cfg.SOLVER, variables["params"], stage="baseline")
+    step = make_train_step(model, cfg, loss_fn, opt)
+    state = initial_state(variables, opt)
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for (imgs, pids), cams in zip(batches, camids):
+        batch = jax_batch(imgs, pids)
+        batch["camids"] = jnp.asarray(cams.astype(np.int32))
+        state, m = step(state, batch, cfg.SOLVER.BASE_LR, key)
+        our_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3, atol=2e-3)
+
+
+def test_baseline_sie_needs_cv_embed(clip_sd):
+    """The converted reference model must carry cv_embed over."""
+    cfg = parity_cfg()
+    cfg.MODEL.SIE_CAMERA = True
+    ref_model = build_ref_baseline(cfg, clip_sd)
+    model, variables = build_ours_from_ref(cfg, clip_sd, ref_model, False)
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["cv_embed"]),
+        ref_model.cv_embed.detach().numpy(),
+    )
+
+
+# ===========================================================================
+# margin classifier heads vs the reference modules
+# ===========================================================================
+
+
+class TestMarginParity:
+    """Our margin logits vs the reference's torch modules on shared weights
+    (ref loss/arcface.py, loss/metric_learning.py — unreferenced by the
+    reference's make_loss; wired here behind MODEL.COS_LAYER)."""
+
+    F, C, B = 24, 10, 6
+
+    def _data(self, seed=0):
+        rng = np.random.RandomState(seed)
+        feats = rng.randn(self.B, self.F).astype(np.float32)
+        labels = rng.randint(0, self.C, self.B)
+        return feats, labels
+
+    def test_arcface(self):
+        from loss.arcface import ArcFace
+
+        from mpreid_tpu.losses.margin import arcface_logits
+
+        feats, labels = self._data(0)
+        ref = ArcFace(self.F, self.C, s=30.0, m=0.5)
+        w = ref.weight.detach().numpy()
+        with torch.no_grad():
+            exp = ref(torch.from_numpy(feats), torch.from_numpy(labels)).numpy()
+        import jax.numpy as jnp
+
+        got = arcface_logits(
+            jnp.asarray(feats), jnp.asarray(w), jnp.asarray(labels), s=30.0, m=0.5
+        )
+        np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-5, atol=1e-5)
+
+    def test_cosface(self):
+        from loss.metric_learning import Cosface
+
+        from mpreid_tpu.losses.margin import cosface_logits
+
+        feats, labels = self._data(1)
+        ref = Cosface(self.F, self.C, s=30.0, m=0.3)
+        w = ref.weight.detach().numpy()
+        with torch.no_grad():
+            exp = ref(torch.from_numpy(feats), torch.from_numpy(labels)).numpy()
+        import jax.numpy as jnp
+
+        got = cosface_logits(
+            jnp.asarray(feats), jnp.asarray(w), jnp.asarray(labels), s=30.0, m=0.3
+        )
+        np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-5, atol=1e-5)
+
+    def test_amsoftmax(self):
+        from loss.metric_learning import AMSoftmax
+
+        from mpreid_tpu.losses.margin import amsoftmax_logits
+
+        feats, labels = self._data(2)
+        ref = AMSoftmax(self.F, self.C, s=30.0, m=0.3)
+        w = ref.W.detach().numpy()  # (feat, C)
+        with torch.no_grad():
+            exp = ref(torch.from_numpy(feats), torch.from_numpy(labels)).numpy()
+        import jax.numpy as jnp
+
+        got = amsoftmax_logits(
+            jnp.asarray(feats), jnp.asarray(w), jnp.asarray(labels), s=30.0, m=0.3
+        )
+        np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-5, atol=1e-5)
+
+    def test_circle(self):
+        from loss.arcface import CircleLoss
+
+        from mpreid_tpu.losses.margin import circle_logits
+
+        feats, labels = self._data(3)
+        ref = CircleLoss(self.F, self.C, s=64.0, m=0.25)
+        w = ref.weight.detach().numpy()
+        with torch.no_grad():
+            exp = ref(
+                torch.from_numpy(feats), torch.from_numpy(labels).long()
+            ).numpy()
+        import jax.numpy as jnp
+
+        got = circle_logits(
+            jnp.asarray(feats), jnp.asarray(w), jnp.asarray(labels), s=64.0, m=0.25
+        )
+        np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-4, atol=1e-4)

@@ -159,3 +159,75 @@ def test_pos_embed_resize_matches_torch_interpolate(towers):
     ref = ref.permute(0, 2, 3, 1).reshape(18, 8).numpy()
     np.testing.assert_allclose(ours[1:], ref, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(ours[0], posemb[0])
+
+
+def make_synthetic_rn50_state_dict(grid=3, width=16, embed_dim=32,
+                                   transformer_width=64, transformer_layers=2,
+                                   vocab=1000, ctx_len=77):
+    """Random RN50-style CLIP state_dict at tiny scale (1,1,1,1 bottlenecks).
+
+    Shapes come from the reference's own ModifiedResNet construction so the
+    key set is exactly what build_model expects (ref clip/model.py:92-148);
+    values are re-randomized (BN running_var kept positive)."""
+    ref_mod = _load_reference_clip_module()
+    proto = ref_mod.CLIP(
+        embed_dim, grid * 32, (1, 1, 1, 1), width, None, 16,
+        ctx_len, vocab, transformer_width, transformer_width // 64,
+        transformer_layers, grid, grid,
+    )
+    g = torch.Generator().manual_seed(11)
+    sd = {}
+    for k, v in proto.state_dict().items():
+        if k.endswith("num_batches_tracked"):
+            sd[k] = v.clone()
+        elif k.endswith("running_var"):
+            sd[k] = torch.rand(v.shape, generator=g) + 0.5
+        elif v.dtype.is_floating_point:
+            sd[k] = torch.randn(v.shape, generator=g) * 0.05
+        else:
+            sd[k] = v.clone()
+    return sd
+
+
+def test_rn50_visual_tower_parity():
+    """Element-wise parity of the ModifiedResNet tower (stem, bottlenecks
+    with anti-aliased strides, BN running stats, AttentionPool2d with
+    resized positional embedding) against the reference torch module."""
+    import jax.numpy as jnp
+
+    from mpreid_tpu.models.clip_model import CLIP, convert_clip_state_dict
+
+    ref_mod = _load_reference_clip_module()
+    sd = make_synthetic_rn50_state_dict()
+    h_res, w_res = 4, 2  # rectangular: exercises the attnpool pos resize
+
+    torch_model = ref_mod.build_model(
+        {k: v.clone() for k, v in sd.items()}, h_res, w_res, 16
+    ).float().eval()
+
+    cfg, variables = convert_clip_state_dict(
+        {k: v.clone() for k, v in sd.items()}, h_res, w_res, 16
+    )
+    assert not cfg.is_vit
+    jax_model = CLIP(cfg, dtype=np.float32)
+
+    rng = np.random.RandomState(7)
+    # stem+layers downsample 16x -> 4x2 final grid for 64x32 inputs
+    x = rng.randn(2, 3, 64, 32).astype(np.float32)
+
+    with torch.no_grad():
+        t3, t4, tproj = torch_model.visual(torch.from_numpy(x))
+
+    j3, j4, jproj, _ = jax_model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        method=lambda m, im: m.encode_image(im),
+    )
+    np.testing.assert_allclose(
+        np.asarray(j3).transpose(0, 3, 1, 2), t3.numpy(), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(j4).transpose(0, 3, 1, 2), t4.numpy(), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(jproj), tproj.numpy(), rtol=2e-4, atol=2e-4
+    )
