@@ -75,10 +75,17 @@ def mha_reference(qkv: jax.Array, num_heads: int,
 # per-element grids the kernels are op-overhead-bound (64 steps × 12 heads ×
 # ~6 small ops); tiling cuts the op count 8× and lets the MXU pipeline.
 # VMEM @ BT=8, ViT-B/16 (L=129): qkv 4.8 MB + out 1.6 MB + (BT, L, L) fp32
-# temporaries ~0.5 MB each — comfortably inside 16 MB with double buffering.
-# The backward touches qkv + do + dqkv (11 MB at BT=8) so it tiles at 4.
+# temporaries ~0.5 MB each. The backward touches qkv + do + dqkv (11 MB at
+# BT=8, ~19 MB double-buffered) — beyond Mosaic's default 16 MB scoped limit
+# but well within the chip's physical VMEM, so the backward raises
+# vmem_limit_bytes instead of shrinking the tile (v5e: BT=8@32MB beats BT=4
+# by ~17% in-step). A probs-saving VJP variant (fwd emits softmax probs,
+# bwd skips the recompute) was measured SLOWER in the full step — the extra
+# 2x25 MB of HBM probs traffic outweighs the op savings — so the backward
+# recomputes probs in VMEM, flash-style.
 _BT_FWD = 8
-_BT_BWD = 4
+_BT_BWD = 8
+_BWD_VMEM_LIMIT = 32 << 20
 
 
 def _batched_dot(a, b, contract, batch=((0,), (0,))):
@@ -213,6 +220,9 @@ def _mha_bwd_pallas(qkv, mask, do, num_heads, interpret):
         out_specs=pl.BlockSpec((bt, l, dd), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((qkv_p.shape[0], l, dd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(*args)
     return dqkv[:b]
