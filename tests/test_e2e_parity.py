@@ -904,3 +904,59 @@ class TestMarginParity:
             jnp.asarray(feats), jnp.asarray(w), jnp.asarray(labels), s=64.0, m=0.25
         )
         np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-4, atol=1e-4)
+
+
+# ===========================================================================
+# k-reciprocal re-ranking vs the reference implementation itself
+# ===========================================================================
+
+
+def test_reranking_parity_vs_reference():
+    """Our XLA re-ranking and NumPy oracle vs the reference's
+    utils/reranking.py (fp16 NumPy) on the same features: the reference's
+    half-precision V/jaccard matrices shift distances at the 1e-3 level, so
+    the assertion is on retrieval outcomes — identical CMC/mAP — plus a
+    loose value check."""
+    import jax.numpy as jnp
+    from utils.reranking import re_ranking as ref_re_ranking
+
+    from mpreid_tpu.ops.metrics import cmc_map
+    from mpreid_tpu.ops.reranking import re_ranking
+    from mpreid_tpu.ops.reranking_numpy import re_ranking_numpy
+
+    rng = np.random.RandomState(0)
+    n_ids, Q, G, D = 8, 20, 60, 32
+    centers = rng.randn(n_ids, D).astype(np.float32)
+    q_pids = rng.randint(0, n_ids, Q)
+    g_pids = rng.randint(0, n_ids, G)
+    qf = (centers[q_pids] + rng.randn(Q, D) * 0.4).astype(np.float32)
+    gf = (centers[g_pids] + rng.randn(G, D) * 0.4).astype(np.float32)
+
+    ref_d = ref_re_ranking(
+        torch.from_numpy(qf), torch.from_numpy(gf), k1=10, k2=4,
+        lambda_value=0.3,
+    )
+    our_d = np.asarray(re_ranking(jnp.asarray(qf), jnp.asarray(gf),
+                                  k1=10, k2=4, lambda_value=0.3))
+    oracle_d = re_ranking_numpy(qf, gf, k1=10, k2=4, lambda_value=0.3)
+
+    np.testing.assert_allclose(our_d, ref_d, rtol=5e-2, atol=5e-3)
+    np.testing.assert_allclose(oracle_d, ref_d, rtol=5e-2, atol=5e-3)
+
+    cams_q = np.zeros(Q, np.int32)
+    cams_g = np.ones(G, np.int32)
+
+    def metrics(dist):
+        cmc, mAP = cmc_map(
+            jnp.asarray(dist), jnp.asarray(q_pids), jnp.asarray(g_pids),
+            jnp.asarray(cams_q), jnp.asarray(cams_g), max_rank=10,
+        )
+        return np.asarray(cmc), float(mAP)
+
+    cmc_ref, map_ref = metrics(ref_d)
+    cmc_ours, map_ours = metrics(our_d)
+    cmc_oracle, map_oracle = metrics(oracle_d)
+    np.testing.assert_allclose(cmc_ours, cmc_ref, atol=1e-6)
+    np.testing.assert_allclose(cmc_oracle, cmc_ref, atol=1e-6)
+    assert abs(map_ours - map_ref) < 1e-3
+    assert abs(map_oracle - map_ref) < 1e-3

@@ -223,3 +223,36 @@ def test_rerank_shards_over_mesh():
     with mesh:
         d8 = np.asarray(re_ranking(qs, gs, k1=20, k2=6))
     np.testing.assert_allclose(d1, d8, atol=1e-5)
+
+
+def test_fused_attention_under_shard_map():
+    """The Pallas fused MHA is per-device under data-parallel sharding: each
+    shard runs its own grid over the local batch (docs/PARALLELISM.md).
+    Validated on the virtual mesh via interpret mode against the global XLA
+    reference path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    from mpreid_tpu.ops.attention import fused_attention, mha_reference
+    from mpreid_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.RandomState(0)
+    qkv = jnp.asarray(rng.randn(16, 33, 3 * 64).astype(np.float32) * 0.3)
+
+    sharded = shard_map(
+        lambda x: fused_attention(x, 2, force="interpret"),
+        mesh=mesh,
+        in_specs=P("data", None, None),
+        out_specs=P("data", None, None),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation;
+        # the kernel is purely per-shard so the check adds nothing
+        check_vma=False,
+    )
+    got = np.asarray(sharded(qkv))
+    exp = np.asarray(mha_reference(qkv, 2))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
