@@ -58,10 +58,29 @@ class ImageBatcher:
     """Threaded decode of record batches into fixed-size numpy batches."""
 
     def __init__(self, records: Sequence[Record], size_hw, batch_size: int,
-                 num_workers: int = 8, cache=False):
+                 num_workers: int = 8, cache=False, native="auto"):
         self.records = list(records)
         self.size_hw = tuple(size_hw)
         self.batch_size = batch_size
+        # Native batch decode (mpreid_tpu/native/imageio.cpp): one C call
+        # decodes+resizes the whole batch under OpenMP, byte-identical to
+        # the PIL path (enforced by the library's load-time self-check).
+        # 'auto' → use it whenever it builds and self-checks on this host.
+        if native == "auto":
+            from mpreid_tpu.native.imageio import native_imageio_available
+
+            self._native = native_imageio_available()
+        else:
+            self._native = bool(native)
+            if self._native:
+                from mpreid_tpu.native.imageio import native_imageio_available
+
+                if not native_imageio_available():
+                    logger.warning(
+                        "DATALOADER.NATIVE_DECODE requested but the native "
+                        "imageio library is unavailable; using the PIL path"
+                    )
+                    self._native = False
         # Two pools: decode workers, plus a dedicated prefetch thread that
         # assembles batches (a single shared pool would deadlock — batch
         # tasks would wait on decode tasks queued behind them).
@@ -89,9 +108,38 @@ class ImageBatcher:
     def __len__(self):
         return (len(self.records) + self.batch_size - 1) // self.batch_size
 
+    def _decode_batch_native(self, recs: Sequence[Record]) -> list:
+        from mpreid_tpu.native.imageio import decode_resize_batch_native
+
+        images: list = [None] * len(recs)
+        miss = []
+        for i, r in enumerate(recs):
+            hit = self._cache.get(r[0]) if self._cache is not None else None
+            if hit is None:
+                miss.append(i)
+            else:
+                images[i] = hit
+        if miss:
+            batch, status = decode_resize_batch_native(
+                [recs[i][0] for i in miss], self.size_hw
+            )
+            for j, i in enumerate(miss):
+                if status[j] == 0:
+                    img = batch[j]
+                else:
+                    # per-image PIL fallback (unsupported format / IO error)
+                    img = decode_resize(recs[i][0], self.size_hw)
+                images[i] = img
+                if self._cache is not None:
+                    self._cache[recs[i][0]] = img
+        return images
+
     def _load_batch(self, indices: Sequence[int]) -> Dict:
         recs = [self.records[i] for i in indices]
-        images = list(self.pool.map(self._decode, recs))
+        if self._native:
+            images = self._decode_batch_native(recs)
+        else:
+            images = list(self.pool.map(self._decode, recs))
         count = len(recs)
         pad = self.batch_size - count
         if pad:
@@ -185,8 +233,9 @@ def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None):
 
     # one shared decode cache for both train batchers (same records/size)
     cache = {} if getattr(cfg.DATALOADER, "CACHE_IMAGES", False) else False
+    native = getattr(cfg.DATALOADER, "NATIVE_DECODE", "auto")
     train_batcher = ImageBatcher(dataset.train, size_train, stage2_bs, num_workers,
-                                 cache=cache)
+                                 cache=cache, native=native)
     if "triplet" in cfg.DATALOADER.SAMPLER:
         sampler = RandomIdentitySampler(
             dataset.train, stage2_bs, cfg.DATALOADER.NUM_INSTANCE, seed=cfg.SOLVER.SEED
@@ -198,12 +247,12 @@ def make_dataloader(cfg, dataset: Optional[ReIDDataset] = None):
         raise ValueError(f"unsupported sampler {cfg.DATALOADER.SAMPLER!r}")
 
     stage1_batcher = ImageBatcher(dataset.train, size_train, stage1_bs, num_workers,
-                                  cache=cache)
+                                  cache=cache, native=native)
     train_loader_stage1 = ShuffledLoader(stage1_batcher, cfg.SOLVER.SEED)
 
     val_records = list(dataset.query) + list(dataset.gallery)
     val_loader = ImageBatcher(val_records, size_test, cfg.TEST.IMS_PER_BATCH,
-                              num_workers, cache=cache)
+                              num_workers, cache=cache, native=native)
 
     return (
         train_loader_stage2,
