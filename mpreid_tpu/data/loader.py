@@ -81,10 +81,12 @@ class ImageBatcher:
                         "imageio library is unavailable; using the PIL path"
                     )
                     self._native = False
-        # Two pools: decode workers, plus a dedicated prefetch thread that
-        # assembles batches (a single shared pool would deadlock — batch
-        # tasks would wait on decode tasks queued behind them).
-        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        # Two pools: decode workers (created lazily — the native path never
+        # uses them), plus a dedicated prefetch thread that assembles batches
+        # (a single shared pool would deadlock — batch tasks would wait on
+        # decode tasks queued behind them).
+        self._num_workers = max(1, num_workers)
+        self._pool: Optional[ThreadPoolExecutor] = None
         self.prefetcher = ThreadPoolExecutor(max_workers=1)
         # Optional decoded-uint8 cache: each image is decoded exactly once
         # and kept in RAM (Market-1501 train at 256×128 ≈ 1.2 GB). Removes
@@ -133,6 +135,12 @@ class ImageBatcher:
                 if self._cache is not None:
                     self._cache[recs[i][0]] = img
         return images
+
+    @property
+    def pool(self) -> ThreadPoolExecutor:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self._num_workers)
+        return self._pool
 
     def _load_batch(self, indices: Sequence[int]) -> Dict:
         recs = [self.records[i] for i in indices]

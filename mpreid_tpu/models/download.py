@@ -65,7 +65,8 @@ def download(url: str, root: str = DEFAULT_ROOT) -> str:
     partial = target + ".partial"
     h = hashlib.sha256()
     try:
-        with urllib.request.urlopen(url) as source, open(partial, "wb") as out:
+        with urllib.request.urlopen(url, timeout=60) as source, \
+                open(partial, "wb") as out:
             total = int(source.info().get("Content-Length") or 0)
             done = 0
             while True:

@@ -214,7 +214,17 @@ class MarginHead(nn.Module):
 
     num_classes: int
     kind: str = "arcface"  # arcface | cosface | amsoftmax | circle
-    scale: float = 30.0
+    # None → the kind's reference default (30, or 256 for circle — ref
+    # arcface.py:9,53). One resolved scale is used for BOTH the margin
+    # training logits and the plain scaled-cosine eval logits, so scores
+    # keep the same magnitude across train/eval.
+    scale: Optional[float] = None
+
+    @property
+    def effective_scale(self) -> float:
+        if self.scale is not None:
+            return self.scale
+        return 256.0 if self.kind == "circle" else 30.0
 
     @nn.compact
     def __call__(self, features: jax.Array, labels: Optional[jax.Array] = None) -> jax.Array:
@@ -224,17 +234,41 @@ class MarginHead(nn.Module):
             "weight", nn.initializers.normal(stddev=0.001),
             (self.num_classes, features.shape[-1]), jnp.float32,
         )
+        s = self.effective_scale
         if labels is None:
-            return self.scale * M._cosine_logits(features, weight)
+            return s * M._cosine_logits(features, weight)
         if self.kind == "arcface":
-            return M.arcface_logits(features, weight, labels, s=self.scale)
+            return M.arcface_logits(features, weight, labels, s=s)
         if self.kind == "cosface":
-            return M.cosface_logits(features, weight, labels, s=self.scale)
+            return M.cosface_logits(features, weight, labels, s=s)
         if self.kind == "amsoftmax":
-            return M.amsoftmax_logits(features, weight.T, labels, s=self.scale)
+            return M.amsoftmax_logits(features, weight.T, labels, s=s)
         if self.kind == "circle":
-            return M.circle_logits(features, weight, labels)
+            return M.circle_logits(features, weight, labels, s=s)
         raise ValueError(
             f"Unknown MODEL.COS_LAYER_TYPE {self.kind!r}; expected "
             "arcface|cosface|amsoftmax|circle"
         )
+
+
+def classifier_init(key, shape, dtype=jnp.float32):
+    """Bias-free classifier init, normal std 0.001 (ref make_model.py:23-28)."""
+    return nn.initializers.normal(stddev=0.001)(key, shape, dtype)
+
+
+def make_classifier(num_classes: int, cos_layer: str = ""):
+    """Classifier head per MODEL.COS_LAYER: plain bias-free Dense (ref
+    make_model.py:48-51) or a MarginHead of the given kind."""
+    if cos_layer:
+        return MarginHead(num_classes, kind=cos_layer)
+    return nn.Dense(
+        num_classes, use_bias=False, kernel_init=classifier_init,
+        dtype=jnp.float32, param_dtype=jnp.float32,
+    )
+
+
+def classifier_scores(classifier, cos_layer: str, feats: jax.Array, labels):
+    """Train-time logits: margin heads need the labels, Dense does not."""
+    if cos_layer:
+        return classifier(feats, labels)
+    return classifier(feats)

@@ -24,11 +24,12 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .clip_model import CLIPConfig, make_visual_tower
-from .layers import BNNeck, MarginHead
-
-
-def classifier_init(key, shape, dtype=jnp.float32):
-    return nn.initializers.normal(stddev=0.001)(key, shape, dtype)
+from .layers import (
+    BNNeck,
+    classifier_init,  # noqa: F401  (re-export; historical import site)
+    classifier_scores,
+    make_classifier,
+)
 
 
 class ReIDModel(nn.Module):
@@ -59,18 +60,8 @@ class ReIDModel(nn.Module):
         self.image_encoder = make_visual_tower(self.clip_config, self.dtype, self.remat)
         self.bottleneck = BNNeck(self.in_planes)
         self.bottleneck_proj = BNNeck(self.in_planes_proj)
-        if self.cos_layer:
-            self.classifier = MarginHead(self.num_classes, kind=self.cos_layer)
-            self.classifier_proj = MarginHead(self.num_classes, kind=self.cos_layer)
-        else:
-            self.classifier = nn.Dense(
-                self.num_classes, use_bias=False, kernel_init=classifier_init,
-                dtype=jnp.float32, param_dtype=jnp.float32,
-            )
-            self.classifier_proj = nn.Dense(
-                self.num_classes, use_bias=False, kernel_init=classifier_init,
-                dtype=jnp.float32, param_dtype=jnp.float32,
-            )
+        self.classifier = make_classifier(self.num_classes, self.cos_layer)
+        self.classifier_proj = make_classifier(self.num_classes, self.cos_layer)
         if self.sie_camera and self.sie_view:
             n_embed = self.camera_num * self.view_num
         elif self.sie_camera:
@@ -139,14 +130,13 @@ class ReIDModel(nn.Module):
         )
         feat_bn = self.bottleneck(feat, train=True)
         feat_proj_bn = self.bottleneck_proj(feat_proj, train=True)
-        if self.cos_layer:
-            cls_score = self.classifier(feat_bn.astype(jnp.float32), label)
-            cls_score_proj = self.classifier_proj(
-                feat_proj_bn.astype(jnp.float32), label
-            )
-        else:
-            cls_score = self.classifier(feat_bn.astype(jnp.float32))
-            cls_score_proj = self.classifier_proj(feat_proj_bn.astype(jnp.float32))
+        cls_score = classifier_scores(
+            self.classifier, self.cos_layer, feat_bn.astype(jnp.float32), label
+        )
+        cls_score_proj = classifier_scores(
+            self.classifier_proj, self.cos_layer,
+            feat_proj_bn.astype(jnp.float32), label,
+        )
         out = {
             "scores": [cls_score, cls_score_proj],
             "feats": [feat_last, feat, feat_proj],

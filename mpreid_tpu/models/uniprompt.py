@@ -31,8 +31,7 @@ import numpy as np
 import flax.linen as nn
 
 from .clip_model import CLIPConfig, make_text_tower, make_visual_tower
-from .layers import BNNeck, MarginHead
-from .reid import classifier_init
+from .layers import BNNeck, classifier_scores, make_classifier
 from .tokenizer import tokenize
 
 N_GENERIC_CTX = 8
@@ -150,18 +149,8 @@ class UniPromptReID(nn.Module):
         )
         self.bottleneck = BNNeck(self.in_planes)
         self.bottleneck_proj = BNNeck(self.in_planes_proj)
-        if self.cos_layer:
-            self.classifier = MarginHead(self.num_classes, kind=self.cos_layer)
-            self.classifier_proj = MarginHead(self.num_classes, kind=self.cos_layer)
-        else:
-            self.classifier = nn.Dense(
-                self.num_classes, use_bias=False, kernel_init=classifier_init,
-                dtype=jnp.float32, param_dtype=jnp.float32,
-            )
-            self.classifier_proj = nn.Dense(
-                self.num_classes, use_bias=False, kernel_init=classifier_init,
-                dtype=jnp.float32, param_dtype=jnp.float32,
-            )
+        self.classifier = make_classifier(self.num_classes, self.cos_layer)
+        self.classifier_proj = make_classifier(self.num_classes, self.cos_layer)
         # learned visual prompt (ref :112-114) — added to projected tokens
         self.visual_prompt = self.param(
             "visual_prompt",
@@ -274,14 +263,13 @@ class UniPromptReID(nn.Module):
         )
         feat_bn = self.bottleneck(feat, train=True)
         feat_proj_bn = self.bottleneck_proj(feat_proj, train=True)
-        if self.cos_layer:
-            cls_score = self.classifier(feat_bn.astype(jnp.float32), label)
-            cls_score_proj = self.classifier_proj(
-                feat_proj_bn.astype(jnp.float32), label
-            )
-        else:
-            cls_score = self.classifier(feat_bn.astype(jnp.float32))
-            cls_score_proj = self.classifier_proj(feat_proj_bn.astype(jnp.float32))
+        cls_score = classifier_scores(
+            self.classifier, self.cos_layer, feat_bn.astype(jnp.float32), label
+        )
+        cls_score_proj = classifier_scores(
+            self.classifier_proj, self.cos_layer,
+            feat_proj_bn.astype(jnp.float32), label,
+        )
         out = {
             "scores": [cls_score, cls_score_proj],
             "feats": [feat_last, feat, feat_proj],

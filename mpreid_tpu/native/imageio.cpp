@@ -193,7 +193,9 @@ unsigned char* decode_jpeg(const unsigned char* buf, size_t len, int* h,
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
-  unsigned char* out = nullptr;
+  // volatile: modified between setjmp and longjmp — a plain local would be
+  // indeterminate in the longjmp branch (UB; free of a stale pointer)
+  unsigned char* volatile out = nullptr;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
     free(out);
@@ -251,8 +253,9 @@ unsigned char* decode_png(const unsigned char* buf, size_t len, int* h,
     png_destroy_read_struct(&png, nullptr, nullptr);
     return nullptr;
   }
-  unsigned char* out = nullptr;
-  png_bytep* rows = nullptr;
+  // volatile: modified between setjmp and longjmp (see decode_jpeg)
+  unsigned char* volatile out = nullptr;
+  png_bytep* volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     free(out);
@@ -262,6 +265,16 @@ unsigned char* decode_png(const unsigned char* buf, size_t len, int* h,
   PngReadState st = {buf, len, 0};
   png_set_read_fn(png, &st, png_mem_read);
   png_read_info(png, info);
+  // 16-bit GRAYSCALE diverges from PIL (mode 'I' → convert('RGB') clamps at
+  // 255, while strip_16 keeps the high byte) — report failure so the caller
+  // PIL-fallbacks and the byte-parity contract holds for every file
+  if (png_get_bit_depth(png, info) == 16) {
+    png_byte ct = png_get_color_type(png, info);
+    if (ct == PNG_COLOR_TYPE_GRAY || ct == PNG_COLOR_TYPE_GRAY_ALPHA) {
+      png_destroy_read_struct(&png, &info, nullptr);
+      return nullptr;
+    }
+  }
   // → 8-bit RGB, alpha dropped (PIL convert('RGB') semantics)
   png_set_expand(png);
   png_set_strip_16(png);

@@ -261,7 +261,15 @@ def fused_attention(
 
     ``force``: None (auto: Pallas on TPU, XLA elsewhere), 'pallas',
     'interpret' (Pallas kernels in interpreter mode — CPU tests) or 'xla'.
+
+    ``mask`` is non-differentiable by contract (it is the constant causal
+    mask in every in-repo use); it is stop_gradient'ed on BOTH paths so the
+    Pallas VJP's zero mask-cotangent and the XLA path's autodiff agree. A
+    learned attention bias must be added to the logits by the caller, not
+    passed as ``mask``.
     """
+    if mask is not None:
+        mask = jax.lax.stop_gradient(mask)
     if force is None:
         force = "pallas" if _on_tpu() else "xla"
     if force == "xla":

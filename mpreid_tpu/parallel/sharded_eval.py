@@ -84,6 +84,8 @@ def _sharded_cmc_map_impl(
     qf, gf, q_pids, g_pids, q_camids, g_camids, max_rank, camera_filter, mesh,
     cap,
 ):
+    g_total = gf.shape[0]
+
     def local(qf, gf_shard, q_pids, g_pids_shard, q_camids, g_camids_shard):
         d = _distmat_local(qf, gf_shard)                       # (Q, Gs)
         match = g_pids_shard[None, :] == q_pids[:, None]
@@ -94,49 +96,64 @@ def _sharded_cmc_map_impl(
         mk = match & keep
         num_rel = jax.lax.psum(jnp.sum(mk, axis=1), "data")    # (Q,)
 
-        # Every shard contributes its relevant items' distances as candidate
-        # thresholds; the all-gathered threshold set is evaluated by ALL
-        # shards so psum'd counts are w.r.t. the same thresholds.
+        # Every shard contributes its relevant items as candidate thresholds
+        # — (distance, global gallery index) pairs; the all-gathered
+        # threshold set is evaluated by ALL shards so psum'd counts are
+        # w.r.t. the same thresholds.
         gs = d.shape[1]
         k = min(gs, cap)
-        d_rel_sorted = jnp.sort(jnp.where(mk, d, jnp.inf), axis=1)  # (Q, Gs)
-        thresholds = jax.lax.all_gather(
+        s_id = jax.lax.axis_index("data")
+
+        def sort_with_gidx(masked_d):
+            order = jnp.argsort(masked_d, axis=1)              # stable
+            sd = jnp.take_along_axis(masked_d, order, axis=1)
+            sg = s_id * gs + order                             # global indices
+            return sd, sg
+
+        d_rel_sorted, g_rel_sorted = sort_with_gidx(jnp.where(mk, d, jnp.inf))
+        d_kept_sorted, g_kept_sorted = sort_with_gidx(jnp.where(keep, d, jnp.inf))
+        thr_d = jax.lax.all_gather(
             d_rel_sorted[:, :k], "data", axis=1, tiled=True
         )                                                       # (Q, D*k)
-        d_kept_sorted = jnp.sort(jnp.where(keep, d, jnp.inf), axis=1)
+        thr_g = jax.lax.all_gather(
+            g_rel_sorted[:, :k], "data", axis=1, tiled=True
+        )
 
         search_l = jax.vmap(lambda row, t: jnp.searchsorted(row, t, side="left"))
-        search_r = jax.vmap(lambda row, t: jnp.searchsorted(row, t, side="right"))
 
-        # Tie handling: exact f32 distance ties between relevant items DO
-        # occur; without a tie-break each tied item would count the whole
-        # tie group ("rank 1 + strictly-closer" twice → prec 2/1 + 2/1
-        # instead of 1/1 + 2/2), inflating AP. Assign each threshold a
-        # deterministic occurrence index j among equal-valued thresholds
-        # (shard-major, slot order); relevant-first vs tied irrelevant
-        # items, matching the dense path's sort for rel-rel ties.
-        # j is assembled distributively: each shard contributes its count
-        # of equal relevant values for thresholds that originate in LATER
-        # shards, and the within-block prefix count for its own columns.
-        n_sh = jax.lax.axis_size("data")
-        s_id = jax.lax.axis_index("data")
-        col = jnp.arange(n_sh * k)
-        origin = col // k
-        slot = col % k
-        cnt_rel_l = search_l(d_rel_sorted, thresholds)
-        cnt_rel_r = search_r(d_rel_sorted, thresholds)
-        contrib = jnp.where(
-            s_id < origin[None, :], cnt_rel_r - cnt_rel_l,
-            jnp.where(s_id == origin[None, :], slot[None, :] - cnt_rel_l, 0),
-        )
-        j = jax.lax.psum(contrib, "data")
+        # Tie handling must reproduce the dense path EXACTLY: dense cmc_map
+        # ranks by a stable argsort, i.e. lexicographically by (distance,
+        # global gallery index) — including ties between a relevant and an
+        # irrelevant item at bitwise-equal distance (byte-duplicate gallery
+        # images with different labels). count_lex(t, tg) = #items with
+        # d < t, plus #items in t's tie window with gidx < tg. The window
+        # count uses a per-position key m[p] = tie_window_start(p)·G +
+        # gidx[p] (the stable sort leaves gidx ascending within a window,
+        # so m is non-decreasing): searchsorted(m, left_t·G + tg) − left_t
+        # counts the window's smaller-index ties — gated on the window at
+        # left_t actually holding value t, because when t is absent from
+        # this shard the target lands inside the NEXT window and the raw
+        # difference would overcount.
+        # (int32 bound: m ≤ Gs·G — fine up to ~100k-image galleries.)
+        def count_lex(sd, sg):
+            self_left = jax.vmap(
+                lambda row: jnp.searchsorted(row, row, side="left")
+            )(sd)
+            m = self_left * g_total + sg
+            left_t = search_l(sd, thr_d)
+            raw = jax.vmap(jnp.searchsorted)(m, left_t * g_total + thr_g)
+            raw = jnp.maximum(raw - left_t, 0)
+            at_left = jnp.take_along_axis(
+                sd, jnp.minimum(left_t, sd.shape[1] - 1), axis=1
+            )
+            return left_t + jnp.where(at_left == thr_d, raw, 0)
 
-        # rank(t) = 1 + #kept strictly closer (global) + tie index;
-        # cnt_rel(t) = #relevant strictly closer + tie index + 1
-        ranks = jax.lax.psum(search_l(d_kept_sorted, thresholds), "data") + 1 + j
-        cnt_rel = jax.lax.psum(cnt_rel_l, "data") + 1 + j
+        # rank(t) = 1 + #kept lexicographically before t (global);
+        # cnt_rel(t) = 1 + #relevant lexicographically before t
+        ranks = jax.lax.psum(count_lex(d_kept_sorted, g_kept_sorted), "data") + 1
+        cnt_rel = jax.lax.psum(count_lex(d_rel_sorted, g_rel_sorted), "data") + 1
 
-        valid_t = jnp.isfinite(thresholds)
+        valid_t = jnp.isfinite(thr_d)
         prec = jnp.where(
             valid_t, cnt_rel.astype(jnp.float32) / ranks.astype(jnp.float32), 0.0
         )

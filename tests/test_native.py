@@ -115,3 +115,27 @@ class TestNativeImageIO:
         for bn, bp in zip(nat.iter_sequential(), pil.iter_sequential()):
             np.testing.assert_array_equal(bn["images"], bp["images"])
             np.testing.assert_array_equal(bn["pids"], bp["pids"])
+
+    def test_16bit_grayscale_png_falls_back_to_pil(self, tmp_path):
+        """PIL opens 16-bit grayscale as mode 'I' and convert('RGB') clamps
+        at 255 — different pixels than a high-byte strip. The native decoder
+        must REFUSE these files (status != 0) so the batcher's per-image PIL
+        fallback keeps byte-parity."""
+        from PIL import Image
+
+        from mpreid_tpu.data.loader import ImageBatcher
+        from mpreid_tpu.native import decode_resize_batch_native
+
+        arr = (np.linspace(0, 40000, 48 * 24).reshape(48, 24)).astype(np.int32)
+        p = tmp_path / "gray16.png"
+        Image.fromarray(arr, mode="I").save(str(p))
+
+        _, status = decode_resize_batch_native([str(p)], (32, 16))
+        assert status[0] != 0
+
+        records = [(str(p), 0, 0, 0)]
+        nat = ImageBatcher(records, (32, 16), batch_size=1, native=True)
+        pil = ImageBatcher(records, (32, 16), batch_size=1, native=False)
+        bn = next(iter(nat.iter_sequential()))
+        bp = next(iter(pil.iter_sequential()))
+        np.testing.assert_array_equal(bn["images"], bp["images"])

@@ -110,6 +110,71 @@ class TestShardedCmcMapTies:
             )
             assert np.isclose(float(mAP), float(map_ref), atol=1e-6)
 
+    def test_relevant_vs_irrelevant_ties_match_dense(self, mesh):
+        """Byte-duplicate gallery rows with DIFFERENT pids: the dense path
+        breaks the relevant-vs-irrelevant exact tie by gallery index (stable
+        argsort); the sharded path must reproduce that order exactly, in
+        both directions (irrelevant first and relevant first)."""
+        qf, gf, qp, gp, qc, gc = eval_data(seed=9, q=16, g=64)
+        # identical feature rows, different identity, across shards —
+        # one pair with the irrelevant copy at the smaller index, one with
+        # the relevant copy at the smaller index
+        gf[37] = gf[2]
+        gp[37] = gp[2] + 1
+        gf[53] = gf[9]
+        gp[53] = gp[9]
+        gp[9] = gp[53] + 1
+        dense = euclidean_squared_distmat(jnp.asarray(qf), jnp.asarray(gf))
+        for camera_filter in (False, True):
+            cmc_ref, map_ref = cmc_map(
+                dense, jnp.asarray(qp), jnp.asarray(gp), jnp.asarray(qc),
+                jnp.asarray(gc), max_rank=20, camera_filter=camera_filter,
+            )
+            cmc, mAP = sharded_cmc_map(
+                jnp.asarray(qf), jnp.asarray(gf), qp, gp, qc, gc, mesh,
+                max_rank=20, camera_filter=camera_filter,
+            )
+            np.testing.assert_allclose(
+                np.asarray(cmc), np.asarray(cmc_ref), atol=1e-6
+            )
+            assert np.isclose(float(mAP), float(map_ref), atol=1e-6)
+
+
+class TestShardedCmcMapTieStress:
+    def test_randomized_heavy_duplication_matches_dense(self, mesh):
+        """Gallery drawn from only 10 unique feature rows → exact ties
+        everywhere, random labels → rel-vs-rel AND rel-vs-irrel ties in both
+        index orders. Sharded metrics must equal the dense stable-argsort
+        path bit-for-bit."""
+        import jax.numpy as jnp
+
+        from mpreid_tpu.ops.distmat import euclidean_squared_distmat
+
+        rng = np.random.RandomState(0)
+        for _trial in range(2):
+            q, g = 12, 64
+            qf = rng.randn(q, 8).astype(np.float32)
+            base = rng.randn(10, 8).astype(np.float32)
+            gf = base[rng.randint(0, 10, g)]
+            qp = rng.randint(0, 6, q).astype(np.int32)
+            gp = rng.randint(0, 6, g).astype(np.int32)
+            qc = rng.randint(0, 3, q).astype(np.int32)
+            gc = rng.randint(0, 3, g).astype(np.int32)
+            dense = euclidean_squared_distmat(jnp.asarray(qf), jnp.asarray(gf))
+            for cf in (False, True):
+                cr, mr = cmc_map(
+                    dense, jnp.asarray(qp), jnp.asarray(gp), jnp.asarray(qc),
+                    jnp.asarray(gc), max_rank=20, camera_filter=cf,
+                )
+                cs, ms = sharded_cmc_map(
+                    jnp.asarray(qf), jnp.asarray(gf), qp, gp, qc, gc, mesh,
+                    max_rank=20, camera_filter=cf,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(cs), np.asarray(cr), atol=1e-6
+                )
+                assert np.isclose(float(ms), float(mr), atol=1e-6)
+
 
 class TestRaggedGalleryShardedEval:
     """G not divisible by the mesh: the processor pads with never-relevant
