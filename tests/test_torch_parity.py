@@ -231,3 +231,74 @@ def test_rn50_visual_tower_parity():
     np.testing.assert_allclose(
         np.asarray(jproj), tproj.numpy(), rtol=2e-4, atol=2e-4
     )
+
+
+def test_moe_visual_tower_parity():
+    """MoE vision tower element-wise parity vs the reference torch modules:
+    top-k routing with renormalization, expert dispatch, and the
+    first-block routing decision reused by the second MoE block
+    (ref clip/model.py:163-330). top_k = num_experts keeps routing
+    continuous so parity is well-defined at float tolerance; expert/gate
+    weights are loaded identically on both sides (no upcycling)."""
+    import jax.numpy as jnp
+
+    from mpreid_tpu.models.clip_model import CLIP, convert_clip_state_dict
+    from mpreid_tpu.models.convert import _convert_vit_moe_trained
+
+    ref_mod = _load_reference_clip_module()
+    sd = make_synthetic_state_dict()
+    g = torch.Generator().manual_seed(5)
+
+    def r(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    E, width, n_moe = 2, 64, 2
+    for i in range(n_moe):
+        p = f"visual.transformer.resblocks.{i}"
+        sd[f"{p}.gate.weight"] = r(E, width)
+        for m in range(E):
+            sd[f"{p}.experts.{m}.c_fc.weight"] = r(4 * width, width)
+            sd[f"{p}.experts.{m}.c_fc.bias"] = r(4 * width)
+            sd[f"{p}.experts.{m}.c_proj.weight"] = r(width, 4 * width)
+            sd[f"{p}.experts.{m}.c_proj.bias"] = r(width)
+
+    torch_model = ref_mod.build_model(
+        {k: v.clone() for k, v in sd.items()}, 4, 2, 16,
+        num_experts=E, top_k=E, moe_layers=n_moe,
+    ).float().eval()
+
+    cfg, variables = convert_clip_state_dict(
+        {k: v.clone() for k, v in sd.items() if ".experts." not in k
+         and ".gate." not in k},
+        4, 2, 16, num_experts=E, top_k=E, moe_layers=n_moe,
+    )
+    vis_sd = {k: v for k, v in sd.items() if k.startswith("visual.")}
+    vis_params, _ = _convert_vit_moe_trained(vis_sd, cfg, n_moe)
+    # the trained-checkpoint converter assumes an already-resized grid;
+    # keep the (resized) positional embedding from the CLIP conversion
+    vis_params["positional_embedding"] = (
+        variables["params"]["visual"]["positional_embedding"]
+    )
+    variables["params"]["visual"] = vis_params
+    jax_model = CLIP(cfg, dtype=np.float32)
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(3, 3, 64, 32).astype(np.float32)
+
+    with torch.no_grad():
+        t11, t12, tproj, tlogits = torch_model.visual(torch.from_numpy(x))
+
+    j11, j12, jproj, jlogits = jax_model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        method=lambda m, im: m.encode_image(im),
+    )
+    np.testing.assert_allclose(np.asarray(j11), t11.numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j12), t12.numpy(), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(jproj), tproj.numpy(), rtol=2e-4, atol=2e-4)
+
+    # router logits: ours are batch-major (1, B·L, E) from the single gating
+    # block; the reference's are seq-major (L·B, E) in LND order
+    b, l = 3, 9
+    jl = np.asarray(jlogits).reshape(b, l, E)
+    tl = tlogits.numpy().reshape(l, b, E).transpose(1, 0, 2)
+    np.testing.assert_allclose(jl, tl, rtol=2e-4, atol=2e-4)
