@@ -960,3 +960,52 @@ def test_reranking_parity_vs_reference():
     np.testing.assert_allclose(cmc_oracle, cmc_ref, atol=1e-6)
     assert abs(map_ours - map_ref) < 1e-3
     assert abs(map_oracle - map_ref) < 1e-3
+
+
+# ===========================================================================
+# LR schedules vs the reference scheduler classes
+# ===========================================================================
+
+
+class TestSchedulerParity:
+    """Our pure epoch→lr functions vs the reference's torch schedulers
+    driven the way its processors drive them."""
+
+    def _dummy_optimizer(self, lr):
+        p = torch.nn.Parameter(torch.zeros(1))
+        return torch.optim.SGD([p], lr=lr)
+
+    def test_warmup_multistep_vs_reference(self):
+        from solver.lr_scheduler import WarmupMultiStepLR
+
+        from mpreid_tpu.solver.schedules import warmup_multistep
+
+        base = 3.5e-4
+        opt = self._dummy_optimizer(base)
+        ref = WarmupMultiStepLR(
+            opt, milestones=[40, 70], gamma=0.1, warmup_factor=0.01,
+            warmup_iters=10, warmup_method="linear",
+        )
+        ours = warmup_multistep(base, [40, 70], gamma=0.1, warmup_factor=0.01,
+                                warmup_iters=10, warmup_method="linear")
+        for epoch in range(0, 90):
+            # _LRScheduler: after k step() calls last_epoch == k
+            assert np.isclose(ref.get_lr()[0], ours(epoch), rtol=1e-9), epoch
+            ref.step()
+
+    def test_warmup_cosine_vs_reference_factory(self):
+        from solver.scheduler_factory import create_scheduler
+
+        from mpreid_tpu.solver.schedules import warmup_cosine
+
+        base, epochs, lr_min, wu_init, wu_t = 3.5e-4, 60, 1e-6, 1e-5, 5
+        opt = self._dummy_optimizer(base)
+        ref = create_scheduler(opt, num_epochs=epochs, lr_min=lr_min,
+                               warmup_lr_init=wu_init, warmup_t=wu_t)
+        ours = warmup_cosine(base, epochs, lr_min=lr_min, warmup_t=wu_t,
+                             warmup_lr_init=wu_init)
+        for epoch in range(0, epochs + 10):
+            # ref processors read scheduler._get_lr(epoch)
+            # (processor_uniprompt_stage1.py:104, stage1 step(epoch) loop)
+            assert np.isclose(ref._get_lr(epoch)[0], ours(epoch),
+                              rtol=1e-9), epoch
