@@ -97,14 +97,19 @@ class ImageBatcher:
         else:
             self._cache = {} if cache else None
 
+    def _cache_key(self, path: str):
+        # keyed by (path, size): the dict is shared between batchers whose
+        # target sizes may differ (train vs val pipelines)
+        return (path, self.size_hw)
+
     def _decode(self, rec: Record) -> np.ndarray:
         if self._cache is not None:
-            hit = self._cache.get(rec[0])
+            hit = self._cache.get(self._cache_key(rec[0]))
             if hit is not None:
                 return hit
         img = decode_resize(rec[0], self.size_hw)
         if self._cache is not None:
-            self._cache[rec[0]] = img
+            self._cache[self._cache_key(rec[0])] = img
         return img
 
     def __len__(self):
@@ -116,7 +121,8 @@ class ImageBatcher:
         images: list = [None] * len(recs)
         miss = []
         for i, r in enumerate(recs):
-            hit = self._cache.get(r[0]) if self._cache is not None else None
+            hit = (self._cache.get(self._cache_key(r[0]))
+                   if self._cache is not None else None)
             if hit is None:
                 miss.append(i)
             else:
@@ -133,7 +139,7 @@ class ImageBatcher:
                     img = decode_resize(recs[i][0], self.size_hw)
                 images[i] = img
                 if self._cache is not None:
-                    self._cache[recs[i][0]] = img
+                    self._cache[self._cache_key(recs[i][0])] = img
         return images
 
     @property
