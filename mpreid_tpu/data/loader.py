@@ -133,7 +133,11 @@ class ImageBatcher:
             )
             for j, i in enumerate(miss):
                 if status[j] == 0:
-                    img = batch[j]
+                    # copy the row out of the batch buffer: caching the view
+                    # would pin the whole (N,H,W,3) allocation per hit and
+                    # share writable memory with the returned batch
+                    img = np.array(batch[j]) if self._cache is not None \
+                        else batch[j]
                 else:
                     # per-image PIL fallback (unsupported format / IO error)
                     img = decode_resize(recs[i][0], self.size_hw)
@@ -148,12 +152,17 @@ class ImageBatcher:
             self._pool = ThreadPoolExecutor(max_workers=self._num_workers)
         return self._pool
 
+    def decode_records(self, recs: Sequence[Record]) -> list:
+        """Decode arbitrary records via whichever path is active (native
+        batch decode or PIL thread pool) — the one entry point callers
+        outside this class should use."""
+        if self._native:
+            return self._decode_batch_native(recs)
+        return list(self.pool.map(self._decode, recs))
+
     def _load_batch(self, indices: Sequence[int]) -> Dict:
         recs = [self.records[i] for i in indices]
-        if self._native:
-            images = self._decode_batch_native(recs)
-        else:
-            images = list(self.pool.map(self._decode, recs))
+        images = self.decode_records(recs)
         count = len(recs)
         pad = self.batch_size - count
         if pad:

@@ -118,7 +118,7 @@ def build_device_dataset(train_loader):
     records = batcher.records
     import jax.numpy as jnp
 
-    images = np.stack(list(batcher.pool.map(batcher._decode, records)))
+    images = np.stack(batcher.decode_records(records))
     return (
         jnp.asarray(images),
         jnp.asarray(np.asarray([r[1] for r in records], np.int32)),

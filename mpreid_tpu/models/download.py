@@ -16,9 +16,11 @@ user to drop the file at ``MODEL.PRETRAIN_PATH`` instead (docs/PARITY_RUNS.md).
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import logging
 import os
+import tempfile
 import urllib.request
 
 # OpenAI CLIP release URLs (public constants, ref clip.py:29-36). Only the
@@ -62,7 +64,13 @@ def download(url: str, root: str = DEFAULT_ROOT) -> str:
             "%s exists but its SHA256 does not match; re-downloading", target
         )
 
-    partial = target + ".partial"
+    # unique temp file per process: concurrent downloaders must not share a
+    # partial path (interleaved writes corrupt both; cleanup could unlink a
+    # file the other is still writing). os.replace at the end stays atomic.
+    fd, partial = tempfile.mkstemp(
+        prefix=filename + ".", suffix=".partial", dir=root
+    )
+    os.close(fd)
     h = hashlib.sha256()
     try:
         with urllib.request.urlopen(url, timeout=60) as source, \
@@ -79,7 +87,7 @@ def download(url: str, root: str = DEFAULT_ROOT) -> str:
                 if total:
                     logger.info("downloading %s: %.1f%%", filename, 100 * done / total)
     except OSError as e:
-        if os.path.exists(partial):
+        with contextlib.suppress(FileNotFoundError):
             os.remove(partial)
         raise RuntimeError(
             f"Could not download {url} ({e}). On an egress-free host, place "
@@ -88,7 +96,8 @@ def download(url: str, root: str = DEFAULT_ROOT) -> str:
         ) from e
 
     if h.hexdigest() != expected:
-        os.remove(partial)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(partial)
         raise RuntimeError(
             f"Downloaded {url} but the SHA256 checksum does not match"
         )

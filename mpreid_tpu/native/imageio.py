@@ -68,7 +68,15 @@ def _build() -> Optional[ctypes.CDLL]:
 
 
 def _self_check(lib) -> bool:
-    """Native resize must be byte-identical to PIL on a synthetic image."""
+    """Native path must be byte-identical to PIL before it may be enabled.
+
+    Two layers are verified: (1) the resize kernel on an in-memory array,
+    and (2) the *codecs* — a synthetic image is encoded to JPEG and PNG by
+    PIL, decoded+resized through the native batch entry point, and required
+    to match PIL's own decode+resize byte-for-byte. A system libjpeg whose
+    IDCT differs from Pillow's bundled libjpeg-turbo fails here and simply
+    disables the native path instead of feeding divergent pixels.
+    """
     try:
         from PIL import Image
     except ImportError:
@@ -85,7 +93,44 @@ def _self_check(lib) -> bool:
         37, 23,
         got.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), out_h, out_w,
     )
-    return rc == 0 and np.array_equal(got, pil)
+    if rc != 0 or not np.array_equal(got, pil):
+        return False
+
+    # codec parity: smooth gradient (JPEG is lossy — both sides decode the
+    # SAME file, so any decoder divergence still shows as a byte mismatch)
+    yy, xx = np.mgrid[0:37, 0:23]
+    smooth = np.stack(
+        [(yy * 5) % 256, (xx * 9) % 256, (yy + xx) * 3 % 256], axis=-1
+    ).astype(np.uint8)
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="mpreid_imageio_check_") as tmp:
+        paths = []
+        for ext in ("jpg", "png"):
+            p = os.path.join(tmp, f"check.{ext}")
+            Image.fromarray(smooth).save(p)
+            paths.append(p)
+        n = len(paths)
+        out = np.empty((n, out_h, out_w, 3), np.uint8)
+        status = np.zeros(n, np.int32)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        lib.decode_resize_batch(
+            arr, n, out_h, out_w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        )
+        if np.any(status != 0):
+            return False
+        for i, p in enumerate(paths):
+            ref = np.asarray(
+                Image.open(p).convert("RGB").resize(
+                    (out_w, out_h), Image.BICUBIC
+                ),
+                np.uint8,
+            )
+            if not np.array_equal(out[i], ref):
+                return False
+    return True
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:

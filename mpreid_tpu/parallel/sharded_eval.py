@@ -78,11 +78,12 @@ def sharded_topk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_rank", "camera_filter", "mesh", "cap")
+    jax.jit,
+    static_argnames=("max_rank", "camera_filter", "mesh", "cap", "key_dtype"),
 )
 def _sharded_cmc_map_impl(
     qf, gf, q_pids, g_pids, q_camids, g_camids, max_rank, camera_filter, mesh,
-    cap,
+    cap, key_dtype=jnp.int32,
 ):
     g_total = gf.shape[0]
 
@@ -134,14 +135,17 @@ def _sharded_cmc_map_impl(
         # left_t actually holding value t, because when t is absent from
         # this shard the target lands inside the NEXT window and the raw
         # difference would overcount.
-        # (int32 bound: m ≤ Gs·G — fine up to ~100k-image galleries.)
+        # (key bound: m ≤ (Gs+1)·G — sharded_cmc_map promotes key_dtype to
+        # int64 past the int32 range, or raises when x64 is unavailable.)
         def count_lex(sd, sg):
             self_left = jax.vmap(
                 lambda row: jnp.searchsorted(row, row, side="left")
             )(sd)
-            m = self_left * g_total + sg
+            m = self_left.astype(key_dtype) * g_total + sg.astype(key_dtype)
             left_t = search_l(sd, thr_d)
-            raw = jax.vmap(jnp.searchsorted)(m, left_t * g_total + thr_g)
+            raw = jax.vmap(jnp.searchsorted)(
+                m, left_t.astype(key_dtype) * g_total + thr_g.astype(key_dtype)
+            )
             raw = jnp.maximum(raw - left_t, 0)
             at_left = jnp.take_along_axis(
                 sd, jnp.minimum(left_t, sd.shape[1] - 1), axis=1
@@ -196,8 +200,22 @@ def sharded_cmc_map(
     # items in one shard than its identity has gallery images in total
     _, counts = np.unique(np.asarray(g_pids), return_counts=True)
     cap = int(counts.max()) if len(counts) else 1
+    # The tie-break key packs (tie_window_start, global gallery index) into
+    # one integer: max value (Gs+1)·G. Past int32 it must be computed in
+    # int64 — silently wrapping would corrupt mAP/CMC on huge galleries.
+    g_total = int(gf.shape[0])
+    gs = g_total // int(mesh.shape["data"])
+    key_dtype = jnp.int32
+    if (gs + 1) * g_total > np.iinfo(np.int32).max:
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                f"sharded_cmc_map: gallery of {g_total} images overflows the "
+                "int32 tie-break key; enable jax_enable_x64 (or evaluate the "
+                "gallery in chunks)"
+            )
+        key_dtype = jnp.int64
     return _sharded_cmc_map_impl(
         qf, gf, jnp.asarray(q_pids), jnp.asarray(g_pids),
         jnp.asarray(q_camids), jnp.asarray(g_camids),
-        max_rank, camera_filter, mesh, cap,
+        max_rank, camera_filter, mesh, cap, key_dtype,
     )
