@@ -1,0 +1,144 @@
+"""Two-process distributed execution must match single-process bitwise.
+
+The reference's multi-node story is DDP + a gloo-seeded PK sampler
+(ref train.py:61-62, datasets/sampler_ddp.py:111-196). The TPU-native
+analogue is one SPMD program over a global mesh with per-host input
+pipelines: each process feeds its ``shard_for_host`` slice of the global
+PK batch and ``jax.distributed`` stitches the 2×4 virtual CPU devices into
+one 8-device mesh.
+
+This test launches two real OS processes (tests/_mp_worker.py), runs one
+train step, and asserts the updated parameters equal a single-process
+8-device run of the identical step — closing the only §2.3 axis that
+previously had no executed multi-process evidence.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BATCH = 16
+NUM_CLASSES = 8
+N_RECORDS = 64
+
+
+def make_cfg():
+    """Config shared by the parent run and the workers.
+
+    SGD keeps the update linear in the gradient: cross-process collectives
+    may reassociate the psum, and Adam's first step (≈ lr·sign(g)) would
+    amplify that 1e-7 reduction noise into a full ±lr flip on near-zero
+    bias gradients. With SGD the runs agree to float noise.
+    """
+    from tiny import tiny_cfg
+
+    return tiny_cfg(**{"SOLVER.OPTIMIZER_NAME": "SGD"})
+
+
+def global_batch_arrays():
+    """Deterministic synthetic dataset shared by parent and workers."""
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 255, (N_RECORDS, 32, 16, 3), dtype=np.uint8)
+    pids = (np.arange(N_RECORDS) // (N_RECORDS // NUM_CLASSES)).astype(np.int32)
+    camids = (np.arange(N_RECORDS) % 3).astype(np.int32)
+    records = [(f"rec{i}.jpg", int(pids[i]), int(camids[i]), 0)
+               for i in range(N_RECORDS)]
+    return images, pids, camids, records
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_step_matches_single_process(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from mpreid_tpu.data.sampler import RandomIdentitySampler
+    from mpreid_tpu.engine.steps import make_train_step
+    from mpreid_tpu.engine.train_state import initial_state
+    from mpreid_tpu.losses import make_loss
+    from mpreid_tpu.parallel import make_mesh, shard_batch, shard_variables
+    from tiny import tiny_model
+    from mpreid_tpu.solver import make_optimizer
+
+    # ---- single-process 8-device reference run ----
+    cfg = make_cfg()
+    model, variables = tiny_model(cfg, num_classes=NUM_CLASSES)
+    loss_fn, _ = make_loss(cfg, NUM_CLASSES)
+    opt = make_optimizer(cfg.SOLVER, variables["params"], stage="baseline")
+    step = make_train_step(model, cfg, loss_fn, opt)
+
+    images, pids, camids, records = global_batch_arrays()
+    sampler = RandomIdentitySampler(records, BATCH, 4, seed=cfg.SOLVER.SEED)
+    order = np.asarray(sampler.epoch_indices(0))[:BATCH]
+    batch_np = {
+        "images": images[order],
+        "pids": pids[order],
+        "camids": camids[order],
+        "trackids": np.zeros(BATCH, np.int32),
+    }
+
+    mesh = make_mesh(data=8, model=1)
+    with mesh:
+        svars = shard_variables(
+            jax.tree_util.tree_map(np.asarray, variables), mesh
+        )
+        state = initial_state(svars, opt)
+        new_state, metrics = step(
+            state, shard_batch(batch_np, mesh), 1e-3, jax.random.PRNGKey(7)
+        )
+        ref_loss = float(metrics["loss"])
+        ref_leaves = [np.asarray(l)
+                      for l in jax.tree_util.tree_leaves(new_state.params)]
+
+    # ---- two real OS processes × 4 virtual devices each ----
+    port = _free_port()
+    coordinator = f"localhost:{port}"
+    outs = [str(tmp_path / f"proc{i}.npz") for i in range(2)]
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "_mp_worker.py"),
+             str(i), "2", coordinator, outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        logs.append(out.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-4000:]}"
+
+    got = [np.load(o) for o in outs]
+    n = int(got[0]["n_leaves"])
+    assert n == len(ref_leaves)
+
+    # both workers hold the same replicated result — bitwise
+    for i in range(n):
+        np.testing.assert_array_equal(got[0][f"p{i}"], got[1][f"p{i}"])
+
+    # and it matches the single-process run (identical SPMD program; CPU
+    # cross-process collectives may legally reassociate reductions, so allow
+    # only float-noise differences)
+    assert np.isclose(ref_loss, float(got[0]["loss"]), rtol=1e-5)
+    for i in range(n):
+        np.testing.assert_allclose(
+            got[0][f"p{i}"], ref_leaves[i], rtol=1e-5, atol=1e-6,
+            err_msg=f"param leaf {i} diverged between 1-proc and 2-proc runs",
+        )
