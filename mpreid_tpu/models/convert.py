@@ -238,3 +238,199 @@ def load_param(path: str, model, variables: Dict[str, Any]) -> Dict[str, Any]:
     sd = torch.load(path, map_location="cpu")
     merged = apply_overlay(variables, convert_reid_state_dict(sd, model))
     return jax.tree_util.tree_map(jax.device_put, merged)
+
+
+# ---------------------------------------------------------------------------
+# export: JAX variables → reference torch state_dict (the exact inverse of
+# convert_reid_state_dict, so models trained HERE can be validated by the
+# reference's own load_param / load_param_finetune, ref make_model.py:118-128)
+# ---------------------------------------------------------------------------
+
+
+def _t(x):
+    import torch
+
+    # np.array copies → the tensor owns writable memory (torch warns on
+    # non-writable views of jax buffers otherwise)
+    return torch.from_numpy(np.array(x, dtype=np.float32))
+
+
+def _export_block(sub: Dict[str, Any], prefix: str, out: Dict[str, Any]) -> None:
+    """Flax ResidualAttentionBlock subtree → reference torch keys
+    (inverse of clip_model._convert_block)."""
+    out[f"{prefix}.attn.in_proj_weight"] = _t(sub["attn"]["in_proj_kernel"]).T
+    out[f"{prefix}.attn.in_proj_bias"] = _t(sub["attn"]["in_proj_bias"])
+    out[f"{prefix}.attn.out_proj.weight"] = _t(sub["attn"]["out_proj_kernel"]).T
+    out[f"{prefix}.attn.out_proj.bias"] = _t(sub["attn"]["out_proj_bias"])
+    out[f"{prefix}.ln_1.weight"] = _t(sub["ln_1"]["scale"])
+    out[f"{prefix}.ln_1.bias"] = _t(sub["ln_1"]["bias"])
+    out[f"{prefix}.ln_2.weight"] = _t(sub["ln_2"]["scale"])
+    out[f"{prefix}.ln_2.bias"] = _t(sub["ln_2"]["bias"])
+    if "mlp" in sub:
+        out[f"{prefix}.mlp.c_fc.weight"] = _t(sub["mlp"]["c_fc"]["kernel"]).T
+        out[f"{prefix}.mlp.c_fc.bias"] = _t(sub["mlp"]["c_fc"]["bias"])
+        out[f"{prefix}.mlp.c_proj.weight"] = _t(sub["mlp"]["c_proj"]["kernel"]).T
+        out[f"{prefix}.mlp.c_proj.bias"] = _t(sub["mlp"]["c_proj"]["bias"])
+
+
+def _export_bn(params: Dict, stats: Dict, prefix: str, out: Dict[str, Any]) -> None:
+    import torch
+
+    out[f"{prefix}.weight"] = _t(params["scale"])
+    out[f"{prefix}.bias"] = _t(params["bias"])
+    out[f"{prefix}.running_mean"] = _t(stats["mean"])
+    out[f"{prefix}.running_var"] = _t(stats["var"])
+    out[f"{prefix}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+
+
+def _export_vit_visual(vp: Dict, clip_config, out: Dict[str, Any]) -> None:
+    pre = "image_encoder"
+    out[f"{pre}.conv1.weight"] = _t(
+        np.transpose(np.asarray(vp["conv1"]["kernel"], np.float32), (3, 2, 0, 1))
+    )
+    out[f"{pre}.class_embedding"] = _t(vp["class_embedding"])
+    out[f"{pre}.positional_embedding"] = _t(vp["positional_embedding"])
+    out[f"{pre}.ln_pre.weight"] = _t(vp["ln_pre"]["scale"])
+    out[f"{pre}.ln_pre.bias"] = _t(vp["ln_pre"]["bias"])
+    out[f"{pre}.ln_post.weight"] = _t(vp["ln_post"]["scale"])
+    out[f"{pre}.ln_post.bias"] = _t(vp["ln_post"]["bias"])
+    out[f"{pre}.proj"] = _t(vp["proj"])
+    for i in range(clip_config.vision_layers):
+        prefix = f"{pre}.transformer.resblocks.{i}"
+        if f"moe_resblocks_{i}" in vp:
+            sub = vp[f"moe_resblocks_{i}"]
+            _export_block(sub, prefix, out)
+            out[f"{prefix}.gate.weight"] = _t(sub["gate_kernel"]).T
+            e = sub["experts"]["c_fc_kernel"].shape[0]
+            for m in range(e):
+                out[f"{prefix}.experts.{m}.c_fc.weight"] = _t(
+                    sub["experts"]["c_fc_kernel"][m]
+                ).T
+                out[f"{prefix}.experts.{m}.c_fc.bias"] = _t(
+                    sub["experts"]["c_fc_bias"][m]
+                )
+                out[f"{prefix}.experts.{m}.c_proj.weight"] = _t(
+                    sub["experts"]["c_proj_kernel"][m]
+                ).T
+                out[f"{prefix}.experts.{m}.c_proj.bias"] = _t(
+                    sub["experts"]["c_proj_bias"][m]
+                )
+        else:
+            _export_block(vp[f"resblocks_{i}"], prefix, out)
+
+
+def _export_resnet_visual(vp: Dict, vs: Dict, clip_config, out: Dict[str, Any]) -> None:
+    pre = "image_encoder"
+
+    def conv(key, sub):
+        out[key] = _t(
+            np.transpose(np.asarray(sub["kernel"], np.float32), (3, 2, 0, 1))
+        )
+
+    for i in (1, 2, 3):
+        conv(f"{pre}.conv{i}.weight", vp[f"conv{i}"])
+        _export_bn(vp[f"bn{i}"]["bn"], vs[f"bn{i}"]["bn"], f"{pre}.bn{i}", out)
+
+    for stage, blocks in zip(
+        ("layer1", "layer2", "layer3", "layer4"), clip_config.vision_layers
+    ):
+        for b in range(blocks):
+            name = f"{stage}_{b}"
+            bp, bs = vp[name], vs[name]
+            for c in (1, 2, 3):
+                conv(f"{pre}.{stage}.{b}.conv{c}.weight", bp[f"conv{c}"])
+                _export_bn(bp[f"bn{c}"]["bn"], bs[f"bn{c}"]["bn"],
+                           f"{pre}.{stage}.{b}.bn{c}", out)
+            if "downsample_conv" in bp:
+                conv(f"{pre}.{stage}.{b}.downsample.0.weight",
+                     bp["downsample_conv"])
+                _export_bn(bp["downsample_bn"]["bn"], bs["downsample_bn"]["bn"],
+                           f"{pre}.{stage}.{b}.downsample.1", out)
+
+    ap = vp["attnpool"]
+    out[f"{pre}.attnpool.positional_embedding"] = _t(ap["positional_embedding"])
+    for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        out[f"{pre}.attnpool.{proj}.weight"] = _t(ap[proj]["kernel"]).T
+        out[f"{pre}.attnpool.{proj}.bias"] = _t(ap[proj]["bias"])
+
+
+def export_reid_state_dict(variables: Dict[str, Any], model) -> Dict[str, Any]:
+    """Our variable tree → a reference-layout torch state_dict.
+
+    The inverse of :func:`convert_reid_state_dict`: the returned dict uses
+    the exact key names the reference's ``build_transformer`` /
+    ``build_transformer_uniprompt`` modules produce, so the reference's own
+    ``load_param`` (ref make_model.py:118-122, copy-by-name with ``module.``
+    strip) accepts it directly. Not exported (frozen buffers the reference
+    recomputes at init from the CLIP checkpoint): ``prompt_learner.token_prefix``
+    / ``token_suffix`` and the text tower's ``token_embedding``.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, Any] = {}
+
+    if "visual" in params:
+        if model.clip_config.is_vit:
+            _export_vit_visual(params["visual"], model.clip_config, out)
+        else:
+            _export_resnet_visual(
+                params["visual"], stats.get("visual", {}), model.clip_config, out
+            )
+
+    for name in ("bottleneck", "bottleneck_proj"):
+        if name in params:
+            _export_bn(params[name], stats[name], name, out)
+
+    for name in ("classifier", "classifier_proj"):
+        if name in params:
+            out[f"{name}.weight"] = _t(params[name]["kernel"]).T
+
+    if "cv_embed" in params:
+        out["cv_embed"] = _t(params["cv_embed"])
+    if "visual_prompt" in params:
+        out["visual_prompt"] = _t(params["visual_prompt"])
+
+    if "fusion_fc1" in params:
+        out["image_fusion_net.fc1.weight"] = _t(params["fusion_fc1"]["kernel"]).T
+        out["image_fusion_net.fc1.bias"] = _t(params["fusion_fc1"]["bias"])
+        out["image_fusion_net.fc2.weight"] = _t(params["fusion_fc2"]["kernel"]).T
+        out["image_fusion_net.fc2.bias"] = _t(params["fusion_fc2"]["bias"])
+
+    if "prompt_learner" in params:
+        pl = params["prompt_learner"]
+        out["prompt_learner.ctx_generic"] = _t(pl["ctx_generic"])
+        out["prompt_learner.ctx_modality"] = _t(pl["ctx_modality"])
+        out["prompt_learner.ctx_platform"] = _t(pl["ctx_platform"])
+        if "ve_linear1" in pl:
+            out["prompt_learner.visual_enhanced_net.linear1.weight"] = _t(
+                pl["ve_linear1"]["kernel"]
+            ).T
+            out["prompt_learner.visual_enhanced_net.linear1.bias"] = _t(
+                pl["ve_linear1"]["bias"]
+            )
+            out["prompt_learner.visual_enhanced_net.linear2.weight"] = _t(
+                pl["ve_linear2"]["kernel"]
+            ).T
+            out["prompt_learner.visual_enhanced_net.linear2.bias"] = _t(
+                pl["ve_linear2"]["bias"]
+            )
+
+    if "text" in params:
+        tp = params["text"]
+        out["text_encoder.positional_embedding"] = _t(tp["positional_embedding"])
+        out["text_encoder.ln_final.weight"] = _t(tp["ln_final"]["scale"])
+        out["text_encoder.ln_final.bias"] = _t(tp["ln_final"]["bias"])
+        out["text_encoder.text_projection"] = _t(tp["text_projection"])
+        for i in range(model.clip_config.transformer_layers):
+            _export_block(
+                tp[f"resblocks_{i}"], f"text_encoder.transformer.resblocks.{i}", out
+            )
+
+    return out
+
+
+def save_param(path: str, model, variables: Dict[str, Any]) -> None:
+    """Write a reference-loadable ``.pth`` (inverse of :func:`load_param`)."""
+    import torch
+
+    torch.save(export_reid_state_dict(variables, model), path)

@@ -1009,3 +1009,142 @@ class TestSchedulerParity:
             # (processor_uniprompt_stage1.py:104, stage1 step(epoch) loop)
             assert np.isclose(ref._get_lr(epoch)[0], ours(epoch),
                               rtol=1e-9), epoch
+
+
+# ===========================================================================
+# export round-trip: train HERE → save_param → reference load_param → eval
+# (closes the reverse-interop gap: the reference can independently validate
+# a model trained in this framework, ref make_model.py:118-122)
+# ===========================================================================
+
+
+def _roundtrip_eval(ref_model, model, state, cfg):
+    """Shared tail: export → reference load_param → compare eval + CMC/mAP."""
+    import jax.numpy as jnp
+    from utils.metrics import eval_func as ref_eval_func
+
+    from mpreid_tpu.engine.steps import make_eval_step
+    from mpreid_tpu.ops.distmat import euclidean_squared_distmat
+    from mpreid_tpu.ops.metrics import cmc_map
+
+    rng = np.random.RandomState(42)
+    val_imgs = rng.randint(0, 256, size=(24, H, W, 3)).astype(np.uint8)
+    val_pids = rng.randint(0, NUM_CLASSES, size=24).astype(np.int32)
+    val_camids = rng.randint(0, 4, size=24).astype(np.int32)
+
+    ref_model.eval()
+    with torch.no_grad():
+        ref_feats = ref_model(to_torch_input(val_imgs)).numpy()
+
+    eval_step = make_eval_step(model, cfg)
+    our_feats = np.asarray(
+        eval_step(state.params, state.batch_stats, jax_batch(val_imgs, val_pids))
+    )
+    # features through BOTH frameworks from the exported weights
+    np.testing.assert_allclose(our_feats, ref_feats, rtol=5e-3, atol=5e-3)
+
+    # the reference's CMC/mAP on ITS OWN features from the exported model
+    # must match ours on ours (the do_inference protocol, ref test.py:46-68)
+    def metrics_of(feats, backend):
+        f = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+        qf, gf = f[:8], f[8:]
+        distmat = np.asarray(
+            euclidean_squared_distmat(jnp.asarray(qf), jnp.asarray(gf))
+        ) if backend == "ours" else (
+            (qf[:, None, :] - gf[None, :, :]) ** 2
+        ).sum(-1)
+        if backend == "ours":
+            cmc, mAP = cmc_map(
+                jnp.asarray(distmat), jnp.asarray(val_pids[:8]),
+                jnp.asarray(val_pids[8:]), jnp.asarray(val_camids[:8]),
+                jnp.asarray(val_camids[8:]), max_rank=10, camera_filter=False,
+            )
+            return np.asarray(cmc), float(mAP)
+        cmc, mAP = ref_eval_func(
+            distmat.astype(np.float32), val_pids[:8], val_pids[8:],
+            val_camids[:8], val_camids[8:], max_rank=10,
+        )
+        return np.asarray(cmc), float(mAP)
+
+    our_cmc, our_map = metrics_of(our_feats, "ours")
+    ref_cmc, ref_map = metrics_of(ref_feats, "ref")
+    np.testing.assert_allclose(our_cmc, ref_cmc, rtol=0, atol=1e-6)
+    assert abs(our_map - ref_map) < 1e-6
+
+
+def test_export_roundtrip_baseline(clip_sd, tmp_path):
+    """Train 3 baseline steps here, export with save_param, load through the
+    reference's own load_param, and require identical eval CMC/mAP."""
+    import jax
+
+    from mpreid_tpu.engine.steps import make_train_step
+    from mpreid_tpu.engine.train_state import initial_state
+    from mpreid_tpu.losses import make_loss
+    from mpreid_tpu.models.convert import save_param
+    from mpreid_tpu.solver import make_optimizer
+
+    cfg = parity_cfg()
+    ref_init = build_ref_baseline(cfg, clip_sd)
+    model, variables = build_ours_from_ref(cfg, clip_sd, ref_init, False)
+
+    loss_fn, _ = make_loss(cfg, NUM_CLASSES)
+    opt = make_optimizer(cfg.SOLVER, variables["params"], stage="baseline")
+    step = make_train_step(model, cfg, loss_fn, opt)
+    state = initial_state(
+        jax.tree_util.tree_map(np.asarray, variables), opt
+    )
+    key = jax.random.PRNGKey(0)
+    for imgs, pids in make_batches(3, seed=21):
+        state, _ = step(state, jax_batch(imgs, pids), cfg.SOLVER.BASE_LR, key)
+
+    pth = str(tmp_path / "ours_baseline.pth")
+    save_param(
+        pth, model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+    )
+
+    ref_model = build_ref_baseline(cfg, clip_sd)  # fresh weights
+    ref_model.load_param(pth)  # the reference's own loader
+    _roundtrip_eval(ref_model, model, state, cfg)
+
+
+def test_export_roundtrip_uniprompt(uniprompt_pair, clip_sd, tmp_path):
+    """Same round-trip through the uniprompt model (prompt contexts, visual
+    prompt, fusion net, text encoder all ride the exported state_dict)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpreid_tpu.engine.steps import make_text_step, make_train_step
+    from mpreid_tpu.engine.train_state import initial_state
+    from mpreid_tpu.losses import make_loss
+    from mpreid_tpu.models.convert import save_param
+    from mpreid_tpu.solver import make_optimizer
+
+    cfg, _, model, variables = uniprompt_pair
+
+    text_step = make_text_step(model, "1b")
+    text_features = text_step(
+        variables["params"], variables.get("batch_stats", {}),
+        jnp.arange(NUM_CLASSES, dtype=jnp.int32),
+    )
+    loss_fn, _ = make_loss(cfg, NUM_CLASSES)
+    opt = make_optimizer(cfg.SOLVER.STAGE2, variables["params"])
+    step = make_train_step(
+        model, cfg, loss_fn, opt, uniprompt=True, text_features=text_features
+    )
+    state = initial_state(jax.tree_util.tree_map(jnp.array, variables), opt)
+    key = jax.random.PRNGKey(0)
+    for imgs, pids in make_batches(2, seed=23):
+        state, _ = step(
+            state, jax_batch(imgs, pids), cfg.SOLVER.STAGE2.BASE_LR, key
+        )
+
+    pth = str(tmp_path / "ours_uniprompt.pth")
+    save_param(
+        pth, model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+    )
+
+    ref_model = build_ref_uniprompt(cfg, clip_sd)  # fresh weights
+    ref_model.load_param(pth)
+    _roundtrip_eval(ref_model, model, state, cfg)
