@@ -133,6 +133,10 @@ def _make_ttpt_tuner(model, cfg, num_classes: int):
 
     @jax.jit
     def tune(params, bstats, img_feat_agg):
+        """→ (tuned per-query text features, per-step entropy trace).
+
+        The trace (shape ``(steps,)``, mean entropy *before* each update)
+        lets callers/tests verify the minimization actually descends."""
         ctx0 = params["prompt_learner"]["ctx_generic"]
 
         def entropy_loss(ctx):
@@ -145,8 +149,8 @@ def _make_ttpt_tuner(model, cfg, num_classes: int):
             ent = -jnp.sum(probs * jnp.log(probs + 1e-9), axis=-1)
             return jnp.mean(ent), sim
 
-        def body(i, carry):
-            ctx, m, v, _ = carry
+        def body(carry, i):
+            ctx, m, v = carry
             (loss, sim), g = jax.value_and_grad(entropy_loss, has_aux=True)(ctx)
             m = b1 * m + (1 - b1) * g
             v = b2 * v + (1 - b2) * jnp.square(g)
@@ -154,16 +158,20 @@ def _make_ttpt_tuner(model, cfg, num_classes: int):
             mh = m / (1 - b1**t)
             vh = v / (1 - b2**t)
             ctx = ctx - lr * (mh / (jnp.sqrt(vh) + eps) + wd * ctx)
-            return ctx, m, v, sim
+            return (ctx, m, v), (loss, sim)
 
-        init = (ctx0, jnp.zeros_like(ctx0), jnp.zeros_like(ctx0),
-                jnp.zeros((img_feat_agg.shape[0], num_classes), jnp.float32))
-        ctx, _, _, sim = jax.lax.fori_loop(0, steps, body, init)
+        init = (ctx0, jnp.zeros_like(ctx0), jnp.zeros_like(ctx0))
+        (ctx, _, _), (ent_trace, sims) = jax.lax.scan(
+            body, init, jnp.arange(steps)
+        )
+        # class choice mirrors the fori_loop semantics: similarity computed
+        # with the context as of the final update's forward pass
+        sim = sims[-1] if steps > 0 else entropy_loss(ctx0)[1]
 
         final_tf = text_all(params, bstats, ctx)
         final_tf = final_tf / jnp.linalg.norm(final_tf, axis=1, keepdims=True)
         best = jnp.argmax(sim, axis=1)
-        return final_tf[best]
+        return final_tf[best], ent_trace
 
     return tune
 
@@ -207,7 +215,12 @@ def do_inference_ttpt(cfg, model, variables, val_loader, num_query: int):
             agg = jnp.mean(jnp.stack(feats, axis=0), axis=0)
             if feat_norm:
                 agg = agg / jnp.linalg.norm(agg, axis=1, keepdims=True)
-            query_feat = tuner(params, bstats, agg.astype(jnp.float32))
+            query_feat, ent = tuner(params, bstats, agg.astype(jnp.float32))
+            if len(ent):
+                logger.info(
+                    "TTPT entropy: %.4f -> %.4f over %d steps",
+                    float(ent[0]), float(ent[-1]), len(ent),
+                )
             qf.append(np.asarray(query_feat)[:boundary])
             q_pids.extend(batch["pids"][:boundary])
             q_camids.extend(batch["camids"][:boundary])
