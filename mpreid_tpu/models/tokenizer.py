@@ -8,9 +8,15 @@ standard ``bpe_simple_vocab_16e6`` merge table, vocab size 49408 including
 ``assets/`` is the standard public OpenAI data artifact (MIT licensed), not
 code.
 
-Differences from the reference implementation: no ftfy dependency — we apply
-NFC normalization + html unescape via the stdlib, which is equivalent for the
-ASCII prompt templates this framework generates ("X X ... person.").
+Text cleaning vs the reference (ref ``simple_tokenizer.py:50-59``): ftfy is
+used **when installed**; otherwise the stdlib fallback applies html unescape
++ NFC normalization. The fallback is id-identical to ftfy for ASCII and for
+already-valid unicode (ftfy's fixes reduce to NFC there); it diverges ONLY
+on mojibake input (e.g. ``"Ã©"``), which ftfy would repair to ``"é"`` and
+the fallback passes through — pinned by ``tests/test_tokenizer.py::
+TestCleaningBoundary``. All prompt templates this framework generates
+("X X ... person.") are ASCII, so training/eval behavior never depends on
+the difference.
 """
 
 from __future__ import annotations
@@ -59,9 +65,23 @@ def _get_pairs(word):
     return pairs
 
 
+try:  # optional: full mojibake repair parity with the reference cleaner
+    import ftfy as _ftfy
+except ImportError:  # stdlib fallback (see module docstring)
+    _ftfy = None
+
+
 def _clean_text(text: str) -> str:
-    text = html.unescape(html.unescape(text))
-    text = unicodedata.normalize("NFC", text)
+    if _ftfy is not None:
+        # reference order (simple_tokenizer.py:50-59): fix_text, then two
+        # html unescapes, then whitespace collapse + lower
+        text = _ftfy.fix_text(text)
+        text = html.unescape(html.unescape(text))
+    else:
+        text = html.unescape(html.unescape(text))
+        # ftfy NFC-normalizes valid unicode; mojibake repair is the only
+        # behavior the fallback lacks
+        text = unicodedata.normalize("NFC", text)
     text = re.sub(r"\s+", " ", text)
     return text.strip().lower()
 

@@ -37,3 +37,91 @@ def test_roundtrip():
 def test_eot_is_argmax():
     toks = tokenize(["a cat", "a much longer sentence about a person"])
     assert (toks.argmax(axis=-1) == (toks == 49407).argmax(axis=-1)).all()
+
+
+class TestCleaningBoundary:
+    """Pin EXACTLY where our cleaner diverges from the reference's
+    (ref simple_tokenizer.py:50-59: ftfy.fix_text → 2×html.unescape;
+    ours: stdlib fallback when ftfy is absent, real ftfy when installed)."""
+
+    # corpus classes:
+    ASCII = [
+        "a photo of a person.",
+        "X X X X person.",
+        "  spaced\t\tout\n text  ",
+        "punct!!! ... 'contractions' don't fail",
+        "Numbers 12345 and MIXED case Text",
+    ]
+    HTML = ["fish &amp; chips", "&amp;amp; double-escaped", "&lt;tag&gt;"]
+    # already-valid unicode: ftfy's fix reduces to NFC normalization
+    CLEAN_UNICODE = [
+        "café person",             # precomposed é
+        "café person",            # decomposed e + combining acute
+        "naïve résumé",
+    ]
+    # mojibake (utf-8 read as latin-1) — the ONLY class where ids diverge
+    # when ftfy is missing
+    MOJIBAKE = ["cafÃ©", "naÃ¯ve"]
+
+    def _reference_ids(self, text, fix_text):
+        """The reference's exact cleaning order + BPE, with ftfy.fix_text
+        injectable (the package is not installed on this host)."""
+        import html as _html
+
+        import regex as _re
+
+        tok = get_tokenizer()
+        t = fix_text(text)
+        t = _html.unescape(_html.unescape(t))
+        t = _re.sub(r"\s+", " ", t.strip()).strip().lower()
+        ids = []
+        for piece in _re.findall(tok.pat, t):
+            b = "".join(tok.byte_encoder[x] for x in piece.encode("utf-8"))
+            ids.extend(tok.encoder[bpe] for bpe in tok.bpe(b).split(" "))
+        return ids
+
+    def test_ascii_and_html_match_reference(self):
+        # on ASCII/html input ftfy.fix_text is the identity
+        tok = get_tokenizer()
+        for text in self.ASCII + self.HTML:
+            assert tok.encode(text) == self._reference_ids(text, lambda s: s), text
+
+    def test_valid_unicode_matches_reference(self):
+        # ftfy NFC-normalizes valid unicode — model it exactly; both the
+        # precomposed and the decomposed spelling must land on the same ids
+        import unicodedata
+
+        tok = get_tokenizer()
+        nfc = lambda s: unicodedata.normalize("NFC", s)
+        for text in self.CLEAN_UNICODE:
+            assert tok.encode(text) == self._reference_ids(text, nfc), text
+        assert tok.encode("café") == tok.encode("café")
+
+    def test_mojibake_boundary(self):
+        """The documented divergence: without ftfy, mojibake passes through
+        (ids of the broken spelling); with ftfy installed, ids equal the
+        repaired spelling's. Either way the boundary is pinned."""
+        from mpreid_tpu.models import tokenizer as tkz
+
+        tok = get_tokenizer()
+        broken, fixed = "cafÃ©", "café"
+        if tkz._ftfy is None:
+            # fallback: mojibake NOT repaired — differs from the repaired ids
+            assert tok.encode(broken) != tok.encode(fixed)
+            # and equals the plain NFC pass-through of the broken text
+            import unicodedata
+
+            assert tok.encode(broken) == self._reference_ids(
+                broken, lambda s: unicodedata.normalize("NFC", s)
+            )
+        else:
+            # real ftfy present: full reference behavior, no divergence
+            assert tok.encode(broken) == tok.encode(fixed)
+
+    def test_ascii_prompt_templates_are_divergence_free(self):
+        """The framework's own prompt surface is pure ASCII, so training and
+        eval never cross the boundary (module docstring claim)."""
+        from mpreid_tpu.models.uniprompt import N_TOTAL_CTX, PROMPT_SUFFIX
+
+        template = " ".join(["X"] * N_TOTAL_CTX) + f" {PROMPT_SUFFIX}"
+        assert template.isascii()
