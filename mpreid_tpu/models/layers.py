@@ -64,6 +64,10 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # QKV layout: None → ops.attention.MODEL_LAYOUT default. "hm" is faster
+    # for towers whose in_proj weights are FROZEN during training (no
+    # backward scatter through the column permute) — the text tower opts in.
+    layout: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
@@ -76,6 +80,23 @@ class MultiHeadAttention(nn.Module):
         )
         in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,), jnp.float32)
 
+        # Attention core: Pallas fused kernel on TPU (per-batch-element
+        # scores/softmax/values resident in VMEM — no head transposes or fp32
+        # score tensors in HBM), identical-math XLA einsum elsewhere. fp32
+        # logits + softmax for numerical parity with torch's fp32 softmax.
+        # The default "hm" layout permutes the in_proj columns statically
+        # (params stay in torch packing for checkpoint compatibility) so the
+        # projection emits per-head-contiguous [q_h|k_h|v_h] slices and the
+        # kernel grid tiles (batch × head-group) — bitwise-identical math,
+        # far smaller VMEM blocks than the whole-row "packed" kernel.
+        from mpreid_tpu.ops import attention as attn
+
+        layout = self.layout if self.layout is not None else attn.MODEL_LAYOUT
+        head_major = layout == "hm"
+        if head_major:
+            perm = attn.head_major_perm(d, self.num_heads)
+            in_kernel = in_kernel[:, perm]
+            in_bias = in_bias[perm]
         qkv = (
             jnp.dot(x, in_kernel.astype(self.dtype), preferred_element_type=jnp.float32)
             + in_bias
@@ -88,6 +109,8 @@ class MultiHeadAttention(nn.Module):
             lora_b = self.param(
                 "lora_b", nn.initializers.zeros, (self.lora_rank, 3 * d), jnp.float32
             )
+            if head_major:
+                lora_b = lora_b[:, perm]
             scale = self.lora_alpha / self.lora_rank
             delta = jnp.dot(
                 jnp.dot(x, lora_a.astype(self.dtype),
@@ -96,13 +119,10 @@ class MultiHeadAttention(nn.Module):
                 preferred_element_type=jnp.float32,
             )
             qkv = qkv + (scale * delta).astype(self.dtype)
-        # Attention core: Pallas fused kernel on TPU (per-batch-element
-        # scores/softmax/values resident in VMEM — no head transposes or fp32
-        # score tensors in HBM), identical-math XLA einsum elsewhere. fp32
-        # logits + softmax for numerical parity with torch's fp32 softmax.
-        from mpreid_tpu.ops.attention import fused_attention
-
-        out = fused_attention(qkv, self.num_heads, mask)
+        if head_major:
+            out = attn.fused_attention_hm(qkv, self.num_heads, mask)
+        else:
+            out = attn.fused_attention(qkv, self.num_heads, mask)
 
         out_kernel = self.param(
             "out_proj_kernel", nn.initializers.xavier_uniform(), (d, d), jnp.float32
@@ -144,12 +164,14 @@ class ResidualAttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    layout: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
         x = x + MultiHeadAttention(
             self.dim, self.num_heads, dtype=self.dtype,
-            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, name="attn",
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            layout=self.layout, name="attn",
         )(
             LayerNorm(self.dim, name="ln_1")(x), mask
         )

@@ -58,6 +58,10 @@ class TextTransformer(nn.Module):
             ResidualAttentionBlock(
                 self.width, self.heads, dtype=self.dtype,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                # head-major QKV: measured faster for this tower, whose
+                # in_proj weights are frozen in every training stage
+                # (tools/bench_stages_ab.py; see ops.attention.MODEL_LAYOUT)
+                layout="hm",
                 name=f"resblocks_{i}",
             )
             for i in range(self.layers)

@@ -32,6 +32,35 @@ from .layers import LayerNorm, ResidualAttentionBlock
 from .moe import MoEResidualAttentionBlock
 
 
+class PatchEmbed(nn.Module):
+    """Patchify as reshape + matmul (stride == patch only).
+
+    Keeps the exact ``conv1/kernel`` param name/shape of the nn.Conv it
+    replaces — checkpoints and converters are layout-identical. Math equals
+    VALID conv with stride == kernel: out[b,i,j,:] = vec(patch_ij) @ vec(W).
+    """
+
+    patch_size: int
+    width: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        p, w = self.patch_size, self.width
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (p, p, 3, w), jnp.float32
+        )
+        b, h, wd, c = x.shape
+        x = x.reshape(b, h // p, p, wd // p, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (h // p) * (wd // p), p * p * c)
+        out = jnp.dot(
+            x.astype(self.dtype),
+            kernel.reshape(p * p * c, w).astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(self.dtype)
+
+
 class VisionTransformer(nn.Module):
     h_resolution: int
     w_resolution: int
@@ -67,17 +96,29 @@ class VisionTransformer(nn.Module):
         w = self.width
         scale = w**-0.5
 
-        x = nn.Conv(
-            features=w,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.stride_size, self.stride_size),
-            padding="VALID",
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv1",
-        )(x.astype(self.dtype))
-        x = x.reshape(b, -1, w)  # (B, hw, width)
+        if self.stride_size == self.patch_size:
+            # Non-overlapping patches: the conv is exactly a space-to-depth
+            # reshape + one (B·hw, p·p·3) × (p·p·3, w) matmul — the direct
+            # MXU form of patchify. (Measured step-time parity with XLA's
+            # conv lowering on the v5e; kept for its explicitness and for
+            # shapes where the conv lowering is less fortunate.)
+            x = PatchEmbed(
+                patch_size=self.patch_size, width=w, dtype=self.dtype,
+                name="conv1",
+            )(x)
+        else:
+            # overlapping patches (stride < patch, e.g. stride 12): real conv
+            x = nn.Conv(
+                features=w,
+                kernel_size=(self.patch_size, self.patch_size),
+                strides=(self.stride_size, self.stride_size),
+                padding="VALID",
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv1",
+            )(x.astype(self.dtype))
+            x = x.reshape(b, -1, w)  # (B, hw, width)
 
         class_embedding = self.param(
             "class_embedding", nn.initializers.normal(stddev=scale), (w,), jnp.float32

@@ -31,6 +31,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -249,6 +250,249 @@ def _fused_mha_bwd(num_heads, interpret, residuals, do):
 
 
 _fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
+
+
+# ---------------------------------------------------------------------------
+# head-major layout variant
+#
+# The packed-QKV kernels above load the full (BT, L, 3D) block per grid step
+# and python-loop over heads — the backward needs a raised 32 MB VMEM limit
+# and is op-overhead-bound (~4 ms/step vs ~0.3 ideal, round-2 profile). The
+# head-major variant instead permutes the in_proj WEIGHT columns statically
+# (head_major_perm) so the projection emits (B, L, H×[q_h|k_h|v_h]): every
+# head's q/k/v is a contiguous column slice, the pallas grid tiles
+# (batch-tile × head), and each grid step touches only (BT, L, 3·dh) — small
+# enough for deep double-buffering under the DEFAULT VMEM limit.
+# ---------------------------------------------------------------------------
+
+_BT_HM = 32
+_HG_HM = 2
+_HM_VMEM_LIMIT = 32 << 20  # heads per grid step (lower bound; see _pick_hg)
+
+# Default layout the model layer emits (models/layers.py): "hm" permutes the
+# in_proj weight columns statically and runs the (batch × head-group)-tiled
+# kernels; "packed" is the whole-row kernel. Same math bitwise either way.
+# Measured in-model on the v5e (tools/bench_stages_ab.py): "hm" wins for the
+# FROZEN text tower (stage-1a 7859 vs 7680 img/s — the column permute of a
+# frozen weight has no backward scatter), "packed" wins for the TRAINABLE
+# vision tower (stage-2a 1625 vs 1594 — the permute's gather/scatter pair on
+# a trained weight costs ~2%). models/text.py opts into "hm"; everything
+# else uses this default.
+MODEL_LAYOUT = "packed"
+
+
+def _pick_hg(dh: int, num_heads: int, requested: int) -> int:
+    """Heads per grid step honoring the Mosaic block constraint: the block's
+    last dim (3·dh·hg for inputs, dh·hg for outputs) must be a multiple of
+    128 — or the group must span all heads (block == full array width)."""
+    import math
+
+    hg_min = 128 // math.gcd(dh, 128)
+    hg = max(requested, hg_min)
+    while hg < num_heads:
+        if num_heads % hg == 0 and (dh * hg) % 128 == 0:
+            return hg
+        hg += 1
+    return num_heads
+
+
+@functools.lru_cache(maxsize=None)
+def head_major_perm(d: int, num_heads: int) -> np.ndarray:
+    """Column permutation: torch packing [q|k|v] → per-head [q_h|k_h|v_h]."""
+    dh = d // num_heads
+    idx = []
+    for h in range(num_heads):
+        for part in range(3):
+            start = part * d + h * dh
+            idx.extend(range(start, start + dh))
+    return np.asarray(idx, np.int32)
+
+
+def mha_reference_hm(qkv: jax.Array, num_heads: int,
+                     mask: Optional[jax.Array] = None) -> jax.Array:
+    """Einsum attention on HEAD-MAJOR packed QKV (autodiff oracle)."""
+    b, l, dd = qkv.shape
+    dh = dd // (3 * num_heads)
+    dtype = qkv.dtype
+    t = qkv.reshape(b, l, num_heads, 3 * dh)
+    q, k, v = t[..., :dh], t[..., dh:2 * dh], t[..., 2 * dh:]
+    scale = jnp.asarray(dh ** -0.5, dtype)
+    logits = jnp.einsum(
+        "blhd,bmhd->bhlm", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhlm,bmhd->blhd", probs, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(dtype).reshape(b, l, num_heads * dh)
+
+
+def _hm_head_math(qkv_h, mask, dh, dtype):
+    """probs + v for one head's (BT, L, 3dh) slice."""
+    q = qkv_h[:, :, :dh]
+    k = qkv_h[:, :, dh:2 * dh]
+    v = qkv_h[:, :, 2 * dh:]
+    scale = jnp.asarray(dh ** -0.5, dtype)
+    s = _batched_dot(q * scale, k, contract=((2,), (2,)))
+    if mask is not None:
+        s = s + mask
+    return jax.nn.softmax(s, axis=-1), q, k, v
+
+
+def _mha_fwd_kernel_hm(heads_per_step: int, dh: int, use_mask: bool, *refs):
+    if use_mask:
+        qkv_ref, mask_ref, out_ref = refs
+        mask = mask_ref[:].astype(jnp.float32)
+    else:
+        qkv_ref, out_ref = refs
+        mask = None
+    dtype = qkv_ref.dtype
+    for g in range(heads_per_step):
+        qkv_h = qkv_ref[:, :, g * 3 * dh:(g + 1) * 3 * dh]
+        p, _, _, v = _hm_head_math(qkv_h, mask, dh, dtype)
+        o = _batched_dot(p.astype(dtype), v, contract=((2,), (1,)))
+        out_ref[:, :, g * dh:(g + 1) * dh] = o.astype(dtype)
+
+
+def _mha_bwd_kernel_hm(heads_per_step: int, dh: int, use_mask: bool, *refs):
+    if use_mask:
+        qkv_ref, mask_ref, do_ref, dqkv_ref = refs
+        mask = mask_ref[:].astype(jnp.float32)
+    else:
+        qkv_ref, do_ref, dqkv_ref = refs
+        mask = None
+    dtype = qkv_ref.dtype
+    scale = dh ** -0.5
+    for g in range(heads_per_step):
+        qkv_h = qkv_ref[:, :, g * 3 * dh:(g + 1) * 3 * dh]
+        p, q, k, v = _hm_head_math(qkv_h, mask, dh, dtype)
+        do = do_ref[:, :, g * dh:(g + 1) * dh]
+        pc = p.astype(dtype)
+        dv = _batched_dot(pc, do, contract=((1,), (1,)))
+        dp = _batched_dot(do, v, contract=((2,), (2,)))
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsc = ds.astype(dtype)
+        dq = _batched_dot(dsc, k, contract=((2,), (1,))) * scale
+        dk = _batched_dot(dsc, q, contract=((1,), (1,))) * scale
+        dqkv_ref[:, :, g * 3 * dh:g * 3 * dh + dh] = dq.astype(dtype)
+        dqkv_ref[:, :, g * 3 * dh + dh:g * 3 * dh + 2 * dh] = dk.astype(dtype)
+        dqkv_ref[:, :, g * 3 * dh + 2 * dh:(g + 1) * 3 * dh] = dv.astype(dtype)
+
+
+def _hm_specs(bt, l, dh, hg, use_mask):
+    in_specs = [
+        pl.BlockSpec((bt, l, 3 * dh * hg), lambda i, h: (i, 0, h),
+                     memory_space=pltpu.VMEM)
+    ]
+    if use_mask:
+        in_specs.append(
+            pl.BlockSpec((l, l), lambda i, h: (0, 0), memory_space=pltpu.VMEM)
+        )
+    return in_specs
+
+
+def _mha_fwd_pallas_hm(qkv, mask, num_heads, interpret):
+    l, dd = qkv.shape[1:]
+    dh = dd // (3 * num_heads)
+    use_mask = mask is not None
+    bt = min(_BT_HM, qkv.shape[0])
+    hg = _pick_hg(dh, num_heads, _HG_HM)
+    qkv_p, b = _pad_batch(qkv, bt)
+    kernel = functools.partial(_mha_fwd_kernel_hm, hg, dh, use_mask)
+    args = (qkv_p, mask.astype(jnp.float32)) if use_mask else (qkv_p,)
+    out = pl.pallas_call(
+        kernel,
+        grid=(qkv_p.shape[0] // bt, num_heads // hg),
+        in_specs=_hm_specs(bt, l, dh, hg, use_mask),
+        out_specs=pl.BlockSpec((bt, l, dh * hg), lambda i, h: (i, 0, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (qkv_p.shape[0], l, num_heads * dh), qkv.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_HM_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:b]
+
+
+def _mha_bwd_pallas_hm(qkv, mask, do, num_heads, interpret):
+    l, dd = qkv.shape[1:]
+    dh = dd // (3 * num_heads)
+    use_mask = mask is not None
+    bt = min(_BT_HM, qkv.shape[0])
+    hg = _pick_hg(dh, num_heads, _HG_HM)
+    qkv_p, b = _pad_batch(qkv, bt)
+    do_p, _ = _pad_batch(do, bt)
+    kernel = functools.partial(_mha_bwd_kernel_hm, hg, dh, use_mask)
+    in_specs = _hm_specs(bt, l, dh, hg, use_mask)
+    in_specs.append(
+        pl.BlockSpec((bt, l, dh * hg), lambda i, h: (i, 0, h),
+                     memory_space=pltpu.VMEM)
+    )
+    args = ((qkv_p, mask.astype(jnp.float32), do_p) if use_mask
+            else (qkv_p, do_p))
+    dqkv = pl.pallas_call(
+        kernel,
+        grid=(qkv_p.shape[0] // bt, num_heads // hg),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bt, l, 3 * dh * hg), lambda i, h: (i, 0, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qkv_p.shape[0], l, dd), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_HM_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(*args)
+    return dqkv[:b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_mha_hm(qkv, mask, num_heads: int, interpret: bool):
+    return _mha_fwd_pallas_hm(qkv, mask, num_heads, interpret)
+
+
+def _fused_mha_hm_fwd(qkv, mask, num_heads, interpret):
+    return _mha_fwd_pallas_hm(qkv, mask, num_heads, interpret), (qkv, mask)
+
+
+def _fused_mha_hm_bwd(num_heads, interpret, residuals, do):
+    qkv, mask = residuals
+    dqkv = _mha_bwd_pallas_hm(qkv, mask, do, num_heads, interpret)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dqkv, dmask
+
+
+_fused_mha_hm.defvjp(_fused_mha_hm_fwd, _fused_mha_hm_bwd)
+
+
+def fused_attention_hm(
+    qkv: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+    force: Optional[str] = None,
+) -> jax.Array:
+    """Multi-head attention on HEAD-MAJOR packed (B, L, 3D) QKV → (B, L, D).
+
+    The caller must emit qkv with ``head_major_perm``-permuted projection
+    columns (models/layers.py permutes the in_proj weight statically).
+    ``force`` semantics match :func:`fused_attention`.
+    """
+    if mask is not None:
+        mask = jax.lax.stop_gradient(mask)
+    if force is None:
+        # NOTE: isolated 500-iter kernel chains (tools/bench_attention.py)
+        # show XLA beating the Pallas kernel on the masked text shapes —
+        # but IN-MODEL (tools/bench_stages_ab.py, stage-1a epoch) the
+        # Pallas path wins by ~8%: the einsum path's head transposes and
+        # fp32 score copies reappear once XLA schedules them against the
+        # rest of the step. Pallas everywhere on TPU.
+        force = "pallas" if _on_tpu() else "xla"
+    if force == "xla":
+        return mha_reference_hm(qkv, num_heads, mask)
+    return _fused_mha_hm(qkv, mask, num_heads, force == "interpret")
 
 
 def fused_attention(

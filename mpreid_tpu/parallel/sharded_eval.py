@@ -188,6 +188,28 @@ def _sharded_cmc_map_impl(
     return cmc, mean_ap
 
 
+def _tie_key_dtype(g_total: int, n_shards: int):
+    """Dtype for the packed lexicographic tie-break key (max (Gs+1)·G).
+
+    Past the int32 range the key must be int64 — silently wrapping would
+    corrupt mAP/CMC on huge galleries — and int64 requires jax_enable_x64;
+    raise a clear error rather than compute garbage when it is off."""
+    import numpy as np
+
+    import jax
+
+    gs = g_total // n_shards
+    if (gs + 1) * g_total <= np.iinfo(np.int32).max:
+        return jnp.int32
+    if not jax.config.jax_enable_x64:
+        raise ValueError(
+            f"sharded_cmc_map: gallery of {g_total} images overflows the "
+            "int32 tie-break key; enable jax_enable_x64 (or evaluate the "
+            "gallery in chunks)"
+        )
+    return jnp.int64
+
+
 def sharded_cmc_map(
     qf, gf, q_pids, g_pids, q_camids, g_camids, mesh: Mesh,
     max_rank: int = 50, camera_filter: bool = False,
@@ -200,20 +222,7 @@ def sharded_cmc_map(
     # items in one shard than its identity has gallery images in total
     _, counts = np.unique(np.asarray(g_pids), return_counts=True)
     cap = int(counts.max()) if len(counts) else 1
-    # The tie-break key packs (tie_window_start, global gallery index) into
-    # one integer: max value (Gs+1)·G. Past int32 it must be computed in
-    # int64 — silently wrapping would corrupt mAP/CMC on huge galleries.
-    g_total = int(gf.shape[0])
-    gs = g_total // int(mesh.shape["data"])
-    key_dtype = jnp.int32
-    if (gs + 1) * g_total > np.iinfo(np.int32).max:
-        if not jax.config.jax_enable_x64:
-            raise ValueError(
-                f"sharded_cmc_map: gallery of {g_total} images overflows the "
-                "int32 tie-break key; enable jax_enable_x64 (or evaluate the "
-                "gallery in chunks)"
-            )
-        key_dtype = jnp.int64
+    key_dtype = _tie_key_dtype(int(gf.shape[0]), int(mesh.shape["data"]))
     return _sharded_cmc_map_impl(
         qf, gf, jnp.asarray(q_pids), jnp.asarray(g_pids),
         jnp.asarray(q_camids), jnp.asarray(g_camids),

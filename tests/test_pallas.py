@@ -135,3 +135,83 @@ class TestFusedAttention:
         exp = mha_reference(qkv, 2).astype(jnp.float32)
         np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
                                    rtol=2e-2, atol=2e-2)
+
+
+class TestFusedAttentionHeadMajor:
+    """Head-major layout kernels (ops/attention.py, (batch × head-group)
+    grid) must match both their einsum oracle and the packed-layout path
+    after the static column permutation."""
+
+    def _qkv(self, b=5, l=13, d=48, seed=0):
+        rng = np.random.RandomState(seed)
+        return jnp.asarray(rng.randn(b, l, 3 * d).astype(np.float32))
+
+    def test_permuted_equals_packed(self):
+        from mpreid_tpu.ops.attention import (
+            head_major_perm, mha_reference, mha_reference_hm,
+        )
+
+        qkv = self._qkv()
+        ref = mha_reference(qkv, 4)
+        hm = mha_reference_hm(qkv[:, :, head_major_perm(48, 4)], 4)
+        np.testing.assert_allclose(np.asarray(hm), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_kernel_matches_oracle(self, use_mask):
+        from mpreid_tpu.ops.attention import (
+            fused_attention_hm, head_major_perm, mha_reference_hm,
+        )
+
+        qkv = self._qkv()[:, :, head_major_perm(48, 4)]
+        mask = (
+            jnp.asarray(np.triu(np.full((13, 13), -1e9, np.float32), 1))
+            if use_mask else None
+        )
+        got = fused_attention_hm(qkv, 4, mask, force="interpret")
+        want = mha_reference_hm(qkv, 4, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("use_mask", [False, True])
+    def test_backward_matches_autodiff_of_oracle(self, use_mask):
+        from mpreid_tpu.ops.attention import (
+            fused_attention_hm, head_major_perm, mha_reference_hm,
+        )
+
+        qkv = self._qkv()[:, :, head_major_perm(48, 4)]
+        mask = (
+            jnp.asarray(np.triu(np.full((13, 13), -1e9, np.float32), 1))
+            if use_mask else None
+        )
+        cot = jnp.asarray(np.random.RandomState(1).randn(5, 13, 48), jnp.float32)
+        g_ker = jax.grad(
+            lambda x: jnp.sum(
+                fused_attention_hm(x, 4, mask, force="interpret") * cot
+            )
+        )(qkv)
+        g_ref = jax.grad(
+            lambda x: jnp.sum(mha_reference_hm(x, 4, mask) * cot)
+        )(qkv)
+        np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_model_layer_layouts_agree(self):
+        """MultiHeadAttention output must be bitwise-layout-independent:
+        the hm path permutes weights, not math."""
+        from mpreid_tpu.models.layers import MultiHeadAttention
+        from mpreid_tpu.ops import attention as attn
+
+        x = jnp.asarray(np.random.RandomState(2).randn(3, 7, 32), jnp.float32)
+        layer = MultiHeadAttention(dim=32, num_heads=4)
+        variables = layer.init(jax.random.PRNGKey(0), x)
+        old = attn.MODEL_LAYOUT
+        try:
+            attn.MODEL_LAYOUT = "hm"
+            out_hm = layer.apply(variables, x)
+            attn.MODEL_LAYOUT = "packed"
+            out_packed = layer.apply(variables, x)
+        finally:
+            attn.MODEL_LAYOUT = old
+        np.testing.assert_allclose(np.asarray(out_hm), np.asarray(out_packed),
+                                   rtol=1e-6, atol=1e-6)

@@ -321,3 +321,47 @@ def test_fused_attention_under_shard_map():
     got = np.asarray(sharded(qkv))
     exp = np.asarray(mha_reference(qkv, 2))
     np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+
+
+def test_tie_key_dtype_guard():
+    """sharded_cmc_map's packed tie-break key: int32 while it fits,
+    explicit error (not silent wraparound) past it without x64."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from mpreid_tpu.parallel.sharded_eval import _tie_key_dtype
+
+    assert _tie_key_dtype(15913, 8) == jnp.int32       # Market-1501 scale
+    assert _tie_key_dtype(100_000, 8) == jnp.int32     # ~the int32 limit
+    with _pytest.raises(ValueError, match="overflows the int32"):
+        _tie_key_dtype(200_000, 8)                     # needs x64
+
+
+def test_fused_attention_hm_under_shard_map():
+    """Head-major variant of the shard_map test above: the (batch ×
+    head-group) grid must likewise be purely per-shard under DP."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from mpreid_tpu.ops.attention import (
+        fused_attention_hm, head_major_perm, mha_reference,
+    )
+    from mpreid_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=8, model=1)
+    rng = np.random.RandomState(0)
+    qkv = jnp.asarray(rng.randn(16, 33, 3 * 64).astype(np.float32) * 0.3)
+    qkv_hm = qkv[:, :, head_major_perm(64, 2)]
+
+    sharded = jax.shard_map(
+        lambda x: fused_attention_hm(x, 2, force="interpret"),
+        mesh=mesh,
+        in_specs=P("data", None, None),
+        out_specs=P("data", None, None),
+        check_vma=False,
+    )
+    got = np.asarray(sharded(qkv_hm))
+    exp = np.asarray(mha_reference(qkv, 2))
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,121 @@
+"""Profile the stage-2 train step on the TPU and print the op breakdown.
+
+Uses jax.profiler.trace and parses the xplane.pb directly (the
+tensorboard_plugin_profile converter is version-broken on this host —
+see CLAUDE.md). Aggregates the XLA-Ops line by hlo_category and by op
+name prefix so kernel-level hot spots are visible.
+
+Usage: PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python tools/profile_stage2.py [out_dir]
+"""
+
+import collections
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def build_step():
+    import jax
+    import jax.numpy as jnp
+
+    from mpreid_tpu.config import get_default_cfg
+    from mpreid_tpu.engine.steps import make_train_step
+    from mpreid_tpu.engine.train_state import initial_state
+    from mpreid_tpu.losses import make_loss
+    from mpreid_tpu.models import init_variables, make_model_uniprompt
+    from mpreid_tpu.solver import make_optimizer
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "ViT-B-16"
+    cfg.INPUT.SIZE_TRAIN = [256, 128]
+    cfg.INPUT.SIZE_TEST = [256, 128]
+    cfg.DATALOADER.SAMPLER = "softmax_triplet"
+    cfg.MODEL.ID_LOSS_WEIGHT = 0.25
+    num_classes, batch, embed_dim = 1000, 64, 512
+    model = make_model_uniprompt(cfg, num_class=num_classes, camera_num=14, view_num=1)
+    variables = init_variables(model, jax.random.PRNGKey(0), cfg)
+    loss_fn, _ = make_loss(cfg, num_classes)
+    opt = make_optimizer(cfg.SOLVER.STAGE2, variables["params"], stage="stage2a")
+    rng = np.random.RandomState(0)
+    text_features = jnp.asarray(rng.randn(num_classes, embed_dim).astype(np.float32))
+    step = make_train_step(model, cfg, loss_fn, opt, uniprompt=True,
+                           text_features=text_features)
+    state = initial_state(variables, opt)
+    batch_d = {
+        "images": jnp.asarray(rng.randint(0, 255, (batch, 256, 128, 3), dtype=np.uint8)),
+        "pids": jnp.asarray((np.arange(batch) // 4 % num_classes).astype(np.int32)),
+        "camids": jnp.zeros(batch, jnp.int32),
+        "trackids": jnp.zeros(batch, jnp.int32),
+    }
+    return step, state, batch_d
+
+
+def parse_xplane(out_dir):
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"), recursive=True)
+    assert paths, f"no xplane.pb under {out_dir}"
+    xs = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+
+    by_cat = collections.Counter()
+    by_name = collections.Counter()
+    total = 0
+    for plane in xs.planes:
+        stat_names = {m.id: m.name for m in plane.stat_metadata.values()}
+        event_names = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                dur = ev.duration_ps / 1e12
+                total += dur
+                cat = "?"
+                for st in ev.stats:
+                    if stat_names.get(st.metadata_id) == "hlo_category":
+                        # categorical stats are refs into stat_metadata
+                        cat = (st.str_value
+                               or stat_names.get(st.ref_value, "?"))
+                by_cat[cat] += dur
+                nm = event_names.get(ev.metadata_id, "?")
+                by_name[nm.split(".")[0]] += dur
+    return by_cat, by_name, total
+
+
+def main():
+    import jax
+
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stage2_profile"
+    step, state, batch_d = build_step()
+    key = jax.random.PRNGKey(0)
+    state, m = step(state, batch_d, 5e-6, key)
+    _ = float(m["loss"])  # compile + warm
+    for _ in range(3):
+        state, m = step(state, batch_d, 5e-6, key)
+    _ = float(m["loss"])
+
+    with jax.profiler.trace(out_dir):
+        for _ in range(5):
+            state, m = step(state, batch_d, 5e-6, key)
+        _ = float(m["loss"])
+
+    by_cat, by_name, total = parse_xplane(out_dir)
+    n_steps = 5
+    print(f"total device time: {total*1e3:.2f} ms over {n_steps} steps "
+          f"({total/n_steps*1e3:.2f} ms/step)")
+    print("\nby hlo_category (ms/step):")
+    for cat, dur in by_cat.most_common(15):
+        print(f"  {cat:28s} {dur/n_steps*1e3:8.3f}")
+    print("\ntop ops (ms/step):")
+    for nm, dur in by_name.most_common(25):
+        print(f"  {nm:44s} {dur/n_steps*1e3:8.3f}")
+
+
+if __name__ == "__main__":
+    main()
