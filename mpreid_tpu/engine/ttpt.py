@@ -216,10 +216,13 @@ def do_inference_ttpt(cfg, model, variables, val_loader, num_query: int):
             if feat_norm:
                 agg = agg / jnp.linalg.norm(agg, axis=1, keepdims=True)
             query_feat, ent = tuner(params, bstats, agg.astype(jnp.float32))
-            if len(ent):
+            if len(ent) and logger.isEnabledFor(logging.INFO):
+                # one host transfer — per-scalar float() fetches cost ~20 ms
+                # each through the remote-TPU tunnel
+                ent_np = np.asarray(ent)
                 logger.info(
                     "TTPT entropy: %.4f -> %.4f over %d steps",
-                    float(ent[0]), float(ent[-1]), len(ent),
+                    ent_np[0], ent_np[-1], len(ent_np),
                 )
             qf.append(np.asarray(query_feat)[:boundary])
             q_pids.extend(batch["pids"][:boundary])

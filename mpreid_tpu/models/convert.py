@@ -255,10 +255,22 @@ def _t(x):
     return torch.from_numpy(np.array(x, dtype=np.float32))
 
 
-def _export_block(sub: Dict[str, Any], prefix: str, out: Dict[str, Any]) -> None:
+def _export_block(sub: Dict[str, Any], prefix: str, out: Dict[str, Any],
+                  lora_alpha: float = 16.0) -> None:
     """Flax ResidualAttentionBlock subtree → reference torch keys
-    (inverse of clip_model._convert_block)."""
-    out[f"{prefix}.attn.in_proj_weight"] = _t(sub["attn"]["in_proj_kernel"]).T
+    (inverse of clip_model._convert_block).
+
+    Trained LoRA adapters have no torch-side key — the reference's
+    MultiheadAttention knows nothing of them — so their contribution
+    ΔW = (α/r)·A·B is FOLDED into the exported in_proj weight; dropping it
+    silently would export wrong effective weights for LoRA-trained models.
+    """
+    in_kernel = np.asarray(sub["attn"]["in_proj_kernel"], np.float32)
+    if "lora_a" in sub["attn"]:
+        a = np.asarray(sub["attn"]["lora_a"], np.float32)
+        bmat = np.asarray(sub["attn"]["lora_b"], np.float32)
+        in_kernel = in_kernel + (lora_alpha / a.shape[1]) * (a @ bmat)
+    out[f"{prefix}.attn.in_proj_weight"] = _t(in_kernel).T
     out[f"{prefix}.attn.in_proj_bias"] = _t(sub["attn"]["in_proj_bias"])
     out[f"{prefix}.attn.out_proj.weight"] = _t(sub["attn"]["out_proj_kernel"]).T
     out[f"{prefix}.attn.out_proj.bias"] = _t(sub["attn"]["out_proj_bias"])
@@ -299,7 +311,7 @@ def _export_vit_visual(vp: Dict, clip_config, out: Dict[str, Any]) -> None:
         prefix = f"{pre}.transformer.resblocks.{i}"
         if f"moe_resblocks_{i}" in vp:
             sub = vp[f"moe_resblocks_{i}"]
-            _export_block(sub, prefix, out)
+            _export_block(sub, prefix, out, clip_config.lora_alpha)
             out[f"{prefix}.gate.weight"] = _t(sub["gate_kernel"]).T
             e = sub["experts"]["c_fc_kernel"].shape[0]
             for m in range(e):
@@ -316,7 +328,8 @@ def _export_vit_visual(vp: Dict, clip_config, out: Dict[str, Any]) -> None:
                     sub["experts"]["c_proj_bias"][m]
                 )
         else:
-            _export_block(vp[f"resblocks_{i}"], prefix, out)
+            _export_block(vp[f"resblocks_{i}"], prefix, out,
+                          clip_config.lora_alpha)
 
 
 def _export_resnet_visual(vp: Dict, vs: Dict, clip_config, out: Dict[str, Any]) -> None:
@@ -423,7 +436,8 @@ def export_reid_state_dict(variables: Dict[str, Any], model) -> Dict[str, Any]:
         out["text_encoder.text_projection"] = _t(tp["text_projection"])
         for i in range(model.clip_config.transformer_layers):
             _export_block(
-                tp[f"resblocks_{i}"], f"text_encoder.transformer.resblocks.{i}", out
+                tp[f"resblocks_{i}"], f"text_encoder.transformer.resblocks.{i}",
+                out, model.clip_config.lora_alpha,
             )
 
     return out

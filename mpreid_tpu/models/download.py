@@ -71,7 +71,13 @@ def download(url: str, root: str = DEFAULT_ROOT) -> str:
         prefix=filename + ".", suffix=".partial", dir=root
     )
     os.close(fd)
+    # mkstemp creates 0600; restore umask-honoring permissions so the final
+    # cached checkpoint (os.replace preserves the mode) stays shareable
+    cur_umask = os.umask(0)
+    os.umask(cur_umask)
+    os.chmod(partial, 0o666 & ~cur_umask)
     h = hashlib.sha256()
+    done_ok = False
     try:
         with urllib.request.urlopen(url, timeout=60) as source, \
                 open(partial, "wb") as out:
@@ -87,22 +93,25 @@ def download(url: str, root: str = DEFAULT_ROOT) -> str:
                 if total:
                     logger.info("downloading %s: %.1f%%", filename, 100 * done / total)
     except OSError as e:
-        with contextlib.suppress(FileNotFoundError):
-            os.remove(partial)
         raise RuntimeError(
             f"Could not download {url} ({e}). On an egress-free host, place "
             f"the file at {target} manually and/or set MODEL.PRETRAIN_PATH "
             "(see docs/PARITY_RUNS.md)."
         ) from e
-
-    if h.hexdigest() != expected:
-        with contextlib.suppress(FileNotFoundError):
-            os.remove(partial)
-        raise RuntimeError(
-            f"Downloaded {url} but the SHA256 checksum does not match"
-        )
-    os.replace(partial, target)
-    return target
+    else:
+        if h.hexdigest() != expected:
+            raise RuntimeError(
+                f"Downloaded {url} but the SHA256 checksum does not match"
+            )
+        os.replace(partial, target)
+        done_ok = True
+        return target
+    finally:
+        # any exit without the rename (OSError, bad digest, KeyboardInterrupt,
+        # non-OSError urllib failures) must not leak the uniquely-named temp
+        if not done_ok:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(partial)
 
 
 def download_clip(model_name: str, root: str = DEFAULT_ROOT) -> str:

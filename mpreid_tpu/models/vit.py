@@ -51,6 +51,10 @@ class PatchEmbed(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (p, p, 3, w), jnp.float32
         )
         b, h, wd, c = x.shape
+        # VALID-conv semantics: a trailing remainder smaller than one patch
+        # is cropped, exactly as the strided conv would drop it
+        if h % p or wd % p:
+            x = x[:, : h // p * p, : wd // p * p, :]
         x = x.reshape(b, h // p, p, wd // p, p, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (h // p) * (wd // p), p * p * c)
         out = jnp.dot(

@@ -265,9 +265,9 @@ _fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
 # enough for deep double-buffering under the DEFAULT VMEM limit.
 # ---------------------------------------------------------------------------
 
-_BT_HM = 32
-_HG_HM = 2
-_HM_VMEM_LIMIT = 32 << 20  # heads per grid step (lower bound; see _pick_hg)
+_BT_HM = 32                 # batch elements per grid step
+_HG_HM = 2                  # heads per grid step (lower bound; see _pick_hg)
+_HM_VMEM_LIMIT = 32 << 20   # Mosaic scoped-VMEM limit for BOTH hm kernels
 
 # Default layout the model layer emits (models/layers.py): "hm" permutes the
 # in_proj weight columns statically and runs the (batch × head-group)-tiled

@@ -204,3 +204,36 @@ class TestClipDownload:
         sha = "a" * 64
         with pytest.raises(RuntimeError, match="MODEL.PRETRAIN_PATH"):
             download(f"file://{tmp_path}/{sha}/missing.pt", root=str(tmp_path / "c"))
+
+
+def test_export_folds_lora_into_in_proj():
+    """A LoRA-trained model must export its EFFECTIVE attention weights:
+    W + (alpha/r)*A@B folded into in_proj_weight (the reference has no LoRA
+    keys to receive the adapters separately)."""
+    import numpy as np
+
+    from mpreid_tpu.models.convert import _export_block
+
+    rng = np.random.RandomState(0)
+    d, r, alpha = 8, 2, 16.0
+    kernel = rng.randn(d, 3 * d).astype(np.float32)
+    a = rng.randn(d, r).astype(np.float32)
+    bmat = rng.randn(r, 3 * d).astype(np.float32)
+    sub = {
+        "attn": {
+            "in_proj_kernel": kernel,
+            "in_proj_bias": np.zeros(3 * d, np.float32),
+            "out_proj_kernel": np.eye(d, dtype=np.float32),
+            "out_proj_bias": np.zeros(d, np.float32),
+            "lora_a": a,
+            "lora_b": bmat,
+        },
+        "ln_1": {"scale": np.ones(d, np.float32), "bias": np.zeros(d, np.float32)},
+        "ln_2": {"scale": np.ones(d, np.float32), "bias": np.zeros(d, np.float32)},
+    }
+    out = {}
+    _export_block(sub, "blk", out, lora_alpha=alpha)
+    want = (kernel + (alpha / r) * (a @ bmat)).T
+    np.testing.assert_allclose(
+        out["blk.attn.in_proj_weight"].numpy(), want, rtol=1e-6, atol=1e-6
+    )

@@ -124,10 +124,10 @@ def main():
     patch_policy()
     cfg, model, variables = build()
     configs = [
-        ("packed", "pallas"),   # round-2 behavior
+        ("packed", "pallas"),   # current default (vision; text uses hm+pallas)
         ("packed", "xla"),
         ("hm", "pallas"),
-        ("hm", "xla"),          # current default
+        ("hm", "xla"),          # measured dead end (kept for re-verification)
     ]
     for layout, pol in configs:
         set_config(layout, pol)
