@@ -105,10 +105,44 @@ def main() -> None:
         leaves = jax.tree_util.tree_leaves(new_state.params)
         host_leaves = [np.asarray(l.addressable_data(0)) for l in leaves]
 
+    # ---- phase 2: gallery-sharded eval ACROSS PROCESSES ----
+    # sharded_cmc_map's psum/all_gather collectives must cross the process
+    # boundary (gloo) and still reproduce the dense single-process metrics.
+    # The public wrapper asarray-s its inputs (single-process convenience);
+    # here every operand is pre-placed as a global array and the jitted impl
+    # is invoked directly.
+    from mpreid_tpu.parallel.sharded_eval import (
+        _sharded_cmc_map_impl, _tie_key_dtype,
+    )
+    from test_multiprocess import eval_fixture
+
+    qf_np, gf_np, qp, gp, qc, gc = eval_fixture()
+    g_shard = gf_np.shape[0] // nprocs
+
+    def repl_arr(x):
+        return jax.make_array_from_process_local_data(repl, np.asarray(x))
+
+    qf_g = repl_arr(qf_np)
+    gf_g = jax.make_array_from_process_local_data(
+        data_sh, gf_np[proc_id * g_shard:(proc_id + 1) * g_shard],
+        global_shape=gf_np.shape,
+    )
+    cap = int(np.bincount(gp).max())
+    with mesh:
+        cmc, mAP = _sharded_cmc_map_impl(
+            qf_g, gf_g, repl_arr(qp), repl_arr(gp), repl_arr(qc), repl_arr(gc),
+            20, True, mesh, cap,
+            _tie_key_dtype(gf_np.shape[0], mesh.shape["data"]),
+        )
+        cmc_np = np.asarray(cmc.addressable_data(0))
+        map_val = float(np.asarray(mAP.addressable_data(0)))
+
     np.savez(
         out_path,
         loss=np.float64(loss),
         n_leaves=np.int64(len(host_leaves)),
+        cmc=cmc_np,
+        mAP=np.float64(map_val),
         **{f"p{i}": l for i, l in enumerate(host_leaves)},
     )
     jax.distributed.shutdown()

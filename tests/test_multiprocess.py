@@ -51,6 +51,21 @@ def global_batch_arrays():
     return images, pids, camids, records
 
 
+def eval_fixture():
+    """Deterministic query/gallery features + labels for the cross-process
+    sharded-eval phase (duplicated rows force exact cross-shard ties)."""
+    rng = np.random.RandomState(5)
+    qf = rng.randn(16, 32).astype(np.float32)
+    gf = rng.randn(64, 32).astype(np.float32)
+    gf[41] = gf[3]  # exact tie across the process boundary
+    qp = rng.randint(0, 6, 16).astype(np.int32)
+    gp = rng.randint(0, 6, 64).astype(np.int32)
+    gp[41] = gp[3]
+    qc = rng.randint(0, 3, 16).astype(np.int32)
+    gc = rng.randint(0, 3, 64).astype(np.int32)
+    return qf, gf, qp, gp, qc, gc
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -142,3 +157,20 @@ def test_two_process_step_matches_single_process(tmp_path):
             got[0][f"p{i}"], ref_leaves[i], rtol=1e-5, atol=1e-6,
             err_msg=f"param leaf {i} diverged between 1-proc and 2-proc runs",
         )
+
+    # ---- cross-process sharded eval equals the dense metrics ----
+    # (the workers' psum/all_gather crossed the OS-process boundary)
+    from mpreid_tpu.ops import cmc_map
+    from mpreid_tpu.ops.distmat import euclidean_squared_distmat
+
+    qf, gf, qp, gp, qc, gc = eval_fixture()
+    dense = euclidean_squared_distmat(jnp.asarray(qf), jnp.asarray(gf))
+    cmc_ref, map_ref = cmc_map(
+        dense, jnp.asarray(qp), jnp.asarray(gp), jnp.asarray(qc),
+        jnp.asarray(gc), max_rank=20, camera_filter=True,
+    )
+    for w in got:
+        np.testing.assert_allclose(
+            np.asarray(w["cmc"]), np.asarray(cmc_ref), atol=1e-6
+        )
+        assert np.isclose(float(w["mAP"]), float(map_ref), atol=1e-6)
