@@ -142,9 +142,25 @@ def measure_matmul_ceiling_tflops(iters: int = 400, size: int = 4096) -> float:
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    def _guard(name, fn, default=None):
+        """Run one extras section; on failure report to stderr and keep
+        going — a transient tunnel/compile failure in a secondary section
+        must not cost the headline metric (extras key becomes null)."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — deliberate fault barrier
+            print(f"bench section {name!r} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            return default
+
+    def _r(x, n=1):
+        return round(x, n) if x is not None else None
 
     from mpreid_tpu.config import get_default_cfg
     from mpreid_tpu.engine.steps import make_eval_step, make_stage1_step
@@ -312,55 +328,63 @@ def main():
     # number; the per-step-dispatch figure above is reported alongside.
     from mpreid_tpu.engine.steps import make_train_epoch
 
-    epoch2 = make_train_epoch(
-        model, cfg, loss_fn, opt2, uniprompt=True, text_features=text_features
-    )
-    n_data = s2_iters * batch
-    ds_images = jnp.asarray(
-        rng.randint(0, 255, (n_data, 256, 128, 3), dtype=np.uint8)
-    )
-    ds_pids = jnp.asarray((np.arange(n_data) // 4 % num_classes).astype(np.int32))
-    ds_zeros = jnp.zeros(n_data, jnp.int32)
-    perm2 = jnp.arange(n_data).reshape(s2_iters, batch)
-    state2e = initial_state(fresh(), opt2)
-    state2e, (l2, a2) = epoch2(
-        state2e, ds_images, ds_pids, ds_zeros, ds_zeros, perm2, 5e-6, key
-    )
-    _ = float(jnp.sum(l2))  # compile
-    s2e_dts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
+    def _sec_stage2_epoch():
+        epoch2 = make_train_epoch(
+            model, cfg, loss_fn, opt2, uniprompt=True, text_features=text_features
+        )
+        n_data = s2_iters * batch
+        ds_images = jnp.asarray(
+            rng.randint(0, 255, (n_data, 256, 128, 3), dtype=np.uint8)
+        )
+        ds_pids = jnp.asarray((np.arange(n_data) // 4 % num_classes).astype(np.int32))
+        ds_zeros = jnp.zeros(n_data, jnp.int32)
+        perm2 = jnp.arange(n_data).reshape(s2_iters, batch)
+        state2e = initial_state(fresh(), opt2)
         state2e, (l2, a2) = epoch2(
             state2e, ds_images, ds_pids, ds_zeros, ds_zeros, perm2, 5e-6, key
         )
-        _ = float(jnp.sum(l2))
-        _ = float(jnp.sum(jax.tree_util.tree_leaves(state2e.params)[0]))
-        s2e_dts.append(time.perf_counter() - t0)
-    stage2_img_per_sec = s2_iters * batch / min(s2e_dts)
-    del state2e, ds_images, l2, a2
+        _ = float(jnp.sum(l2))  # compile
+        s2e_dts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            state2e, (l2, a2) = epoch2(
+                state2e, ds_images, ds_pids, ds_zeros, ds_zeros, perm2, 5e-6, key
+            )
+            _ = float(jnp.sum(l2))
+            _ = float(jnp.sum(jax.tree_util.tree_leaves(state2e.params)[0]))
+            s2e_dts.append(time.perf_counter() - t0)
+        return s2_iters * batch / min(s2e_dts)
+
+    stage2_img_per_sec = _guard("stage2_epoch_scan", _sec_stage2_epoch,
+                                stage2_periter_img_per_sec)
 
     # ---- stage-1b prompt-training throughput (view-conditioned contexts) ----
     # Identical loop shape to 1a but training the modality/platform contexts
     # with real view labels (ref train_uniprompt.py:102-122).
-    opt1b = make_optimizer(cfg.SOLVER.STAGE1B, variables["params"], stage="stage1b")
-    epoch1b = make_stage1_epoch(model, cfg, opt1b, stage="1b")
-    state1b = initial_state(fresh(), opt1b)
-    views_bank = jnp.asarray(rng.randint(0, 14, iters * batch).astype(np.int32))
-    state1b, losses1b = epoch1b(
-        state1b, bank, bank_labels, views_bank, perm, 3.5e-4
-    )
-    _ = float(jnp.sum(losses1b))  # compile
-    s1b_dts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
+    def _sec_stage1b():
+        opt1b = make_optimizer(cfg.SOLVER.STAGE1B, variables["params"],
+                               stage="stage1b")
+        epoch1b = make_stage1_epoch(model, cfg, opt1b, stage="1b")
+        state1b = initial_state(fresh(), opt1b)
+        views_bank = jnp.asarray(
+            rng.randint(0, 14, iters * batch).astype(np.int32)
+        )
         state1b, losses1b = epoch1b(
             state1b, bank, bank_labels, views_bank, perm, 3.5e-4
         )
-        _ = float(jnp.sum(losses1b))
-        _ = float(jnp.sum(jax.tree_util.tree_leaves(state1b.params)[0]))
-        s1b_dts.append(time.perf_counter() - t0)
-    stage1b_img_per_sec = iters * batch / min(s1b_dts)
-    del state1b, losses1b
+        _ = float(jnp.sum(losses1b))  # compile
+        s1b_dts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            state1b, losses1b = epoch1b(
+                state1b, bank, bank_labels, views_bank, perm, 3.5e-4
+            )
+            _ = float(jnp.sum(losses1b))
+            _ = float(jnp.sum(jax.tree_util.tree_leaves(state1b.params)[0]))
+            s1b_dts.append(time.perf_counter() - t0)
+        return iters * batch / min(s1b_dts)
+
+    stage1b_img_per_sec = _guard("stage1b", _sec_stage1b)
 
     # ---- stage-2b fine-tune throughput (MoE tower, gate+encoder training) ----
     # Exercises the upcycled MoE vision tower (4 experts, top-2, 2 MoE
@@ -369,163 +393,187 @@ def main():
     # never timed, and the only perf datapoint for the MoE path.
     from mpreid_tpu.models import switch_to_moe
 
-    cfg.MODEL.MOE.ENABLED = True
-    cfg.MODEL.MOE.NUM_EXPERTS = 4
-    cfg.MODEL.MOE.TOP_K = 2
-    cfg.MODEL.MOE.MOE_LAYERS = 2
-    moe_model, moe_vars = switch_to_moe(cfg, model, variables)
-    opt2b = make_optimizer(cfg.SOLVER.STAGE2, moe_vars["params"], stage="stage2b")
-    step2b = make_train_step(
-        moe_model, cfg, loss_fn, opt2b, uniprompt=True, text_features=text_features
-    )
-    state2b = initial_state(
-        jax.tree_util.tree_map(jnp.array, moe_vars), opt2b
-    )
-    state2b, m2b = step2b(state2b, train_batch, 5e-6, key)
-    _ = float(m2b["loss"])
-    s2b_dts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _i in range(s2_iters):
+    def _sec_stage2b():
+        cfg.MODEL.MOE.ENABLED = True
+        cfg.MODEL.MOE.NUM_EXPERTS = 4
+        cfg.MODEL.MOE.TOP_K = 2
+        cfg.MODEL.MOE.MOE_LAYERS = 2
+        try:
+            moe_model, moe_vars = switch_to_moe(cfg, model, variables)
+            opt2b = make_optimizer(cfg.SOLVER.STAGE2, moe_vars["params"],
+                                   stage="stage2b")
+            step2b = make_train_step(
+                moe_model, cfg, loss_fn, opt2b, uniprompt=True,
+                text_features=text_features,
+            )
+            state2b = initial_state(
+                jax.tree_util.tree_map(jnp.array, moe_vars), opt2b
+            )
             state2b, m2b = step2b(state2b, train_batch, 5e-6, key)
-        _ = float(m2b["loss"])
-        _ = float(jnp.sum(jax.tree_util.tree_leaves(state2b.params)[0]))
-        s2b_dts.append(time.perf_counter() - t0)
-    stage2b_img_per_sec = s2_iters * batch / min(s2b_dts)
-    del state2b, m2b, moe_vars, moe_model
-    cfg.MODEL.MOE.ENABLED = False
+            _ = float(m2b["loss"])
+            s2b_dts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _i in range(s2_iters):
+                    state2b, m2b = step2b(state2b, train_batch, 5e-6, key)
+                _ = float(m2b["loss"])
+                _ = float(jnp.sum(jax.tree_util.tree_leaves(state2b.params)[0]))
+                s2b_dts.append(time.perf_counter() - t0)
+            return s2_iters * batch / min(s2b_dts)
+        finally:
+            cfg.MODEL.MOE.ENABLED = False
+
+    stage2b_img_per_sec = _guard("stage2b_moe", _sec_stage2b)
 
     # ---- RN50 path: eval + train throughput (ref configs/person/cnn_base.yml) ----
     from mpreid_tpu.models import make_model
 
-    cfg_rn = get_default_cfg()
-    cfg_rn.MODEL.NAME = "RN50"
-    cfg_rn.INPUT.SIZE_TRAIN = [256, 128]
-    cfg_rn.INPUT.SIZE_TEST = [256, 128]
-    cfg_rn.DATALOADER.SAMPLER = "softmax_triplet"
-    rn_model = make_model(cfg_rn, num_class=num_classes, camera_num=14, view_num=1)
-    rn_vars = init_variables(rn_model, jax.random.PRNGKey(1), cfg_rn)
+    def _sec_rn50():
+        cfg_rn = get_default_cfg()
+        cfg_rn.MODEL.NAME = "RN50"
+        cfg_rn.INPUT.SIZE_TRAIN = [256, 128]
+        cfg_rn.INPUT.SIZE_TEST = [256, 128]
+        cfg_rn.DATALOADER.SAMPLER = "softmax_triplet"
+        rn_model = make_model(cfg_rn, num_class=num_classes, camera_num=14,
+                              view_num=1)
+        rn_vars = init_variables(rn_model, jax.random.PRNGKey(1), cfg_rn)
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def rn_eval_bench(params, batch_stats, images_u8, iters):
-        def body(carry, _):
-            x = eval_preprocess(
-                images_u8 + carry,
-                mean=tuple(cfg_rn.INPUT.PIXEL_MEAN),
-                std=tuple(cfg_rn.INPUT.PIXEL_STD),
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def rn_eval_bench(params, batch_stats, images_u8, iters):
+            def body(carry, _):
+                x = eval_preprocess(
+                    images_u8 + carry,
+                    mean=tuple(cfg_rn.INPUT.PIXEL_MEAN),
+                    std=tuple(cfg_rn.INPUT.PIXEL_STD),
+                )
+                f = rn_model.apply(
+                    {"params": params, "batch_stats": batch_stats}, x, train=False
+                )
+                s = jnp.sum(f.astype(jnp.float32))
+                return (s > 1e30).astype(jnp.uint8), s
+            carry, sums = jax.lax.scan(
+                body, jnp.zeros((), jnp.uint8), None, length=iters
             )
-            f = rn_model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False
-            )
-            s = jnp.sum(f.astype(jnp.float32))
-            return (s > 1e30).astype(jnp.uint8), s
-        carry, sums = jax.lax.scan(body, jnp.zeros((), jnp.uint8), None, length=iters)
-        return jnp.sum(sums)
+            return jnp.sum(sums)
 
-    _ = float(rn_eval_bench(rn_vars["params"], rn_vars["batch_stats"], images,
-                            eval_iters))
-    rn_eval_dts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
         _ = float(rn_eval_bench(rn_vars["params"], rn_vars["batch_stats"],
                                 images, eval_iters))
-        rn_eval_dts.append(time.perf_counter() - t0)
-    rn50_feats_per_sec = eval_iters * eval_batch / min(rn_eval_dts)
+        rn_eval_dts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _ = float(rn_eval_bench(rn_vars["params"], rn_vars["batch_stats"],
+                                    images, eval_iters))
+            rn_eval_dts.append(time.perf_counter() - t0)
+        feats = eval_iters * eval_batch / min(rn_eval_dts)
 
-    rn_loss_fn, _unused2 = make_loss(cfg_rn, num_classes)
-    rn_opt = make_optimizer(cfg_rn.SOLVER, rn_vars["params"], stage="baseline")
-    rn_step = make_train_step(rn_model, cfg_rn, rn_loss_fn, rn_opt)
-    rn_state = initial_state(jax.tree_util.tree_map(jnp.array, rn_vars), rn_opt)
-    rn_state, mrn = rn_step(rn_state, train_batch, 5e-6, key)
-    _ = float(mrn["loss"])
-    rn_dts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _i in range(s2_iters):
-            rn_state, mrn = rn_step(rn_state, train_batch, 5e-6, key)
+        rn_loss_fn, _unused2 = make_loss(cfg_rn, num_classes)
+        rn_opt = make_optimizer(cfg_rn.SOLVER, rn_vars["params"], stage="baseline")
+        rn_step = make_train_step(rn_model, cfg_rn, rn_loss_fn, rn_opt)
+        rn_state = initial_state(jax.tree_util.tree_map(jnp.array, rn_vars), rn_opt)
+        rn_state, mrn = rn_step(rn_state, train_batch, 5e-6, key)
         _ = float(mrn["loss"])
-        _ = float(jnp.sum(jax.tree_util.tree_leaves(rn_state.params)[0]))
-        rn_dts.append(time.perf_counter() - t0)
-    rn50_train_img_per_sec = s2_iters * batch / min(rn_dts)
-    del rn_state, mrn
+        rn_dts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _i in range(s2_iters):
+                rn_state, mrn = rn_step(rn_state, train_batch, 5e-6, key)
+            _ = float(mrn["loss"])
+            _ = float(jnp.sum(jax.tree_util.tree_leaves(rn_state.params)[0]))
+            rn_dts.append(time.perf_counter() - t0)
+        train_ips = s2_iters * batch / min(rn_dts)
+        flops = rn50_flops_per_image(
+            rn_model.clip_config, rn_model.in_planes, num_classes
+        )
+        return feats, train_ips, flops
+
+    rn50 = _guard("rn50", _sec_rn50)
+    rn50_feats_per_sec, rn50_train_img_per_sec, rn_flops = (
+        rn50 if rn50 is not None else (None, None, None)
+    )
 
     # ---- Market-scale k-reciprocal re-ranking wall-clock ----
     from mpreid_tpu.ops.reranking import re_ranking
 
-    Q, G, D = 3368, 15913, 512
-    n_ids = 750
-    centers = rng.randn(n_ids, D).astype(np.float32)
-    qf = jnp.asarray(
-        (centers[rng.randint(0, n_ids, Q)] + rng.randn(Q, D) * 0.7).astype(np.float32)
-    )
-    gf = jnp.asarray(
-        (centers[rng.randint(0, n_ids, G)] + rng.randn(G, D) * 0.7).astype(np.float32)
-    )
-    d = re_ranking(qf, gf, k1=50, k2=15, fast_minsum=True)
-    _ = float(jnp.sum(d))  # compile + run
-    rr_dts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
+    def _sec_rerank():
+        Q, G, D = 3368, 15913, 512
+        n_ids = 750
+        centers = rng.randn(n_ids, D).astype(np.float32)
+        qf = jnp.asarray(
+            (centers[rng.randint(0, n_ids, Q)]
+             + rng.randn(Q, D) * 0.7).astype(np.float32)
+        )
+        gf = jnp.asarray(
+            (centers[rng.randint(0, n_ids, G)]
+             + rng.randn(G, D) * 0.7).astype(np.float32)
+        )
         d = re_ranking(qf, gf, k1=50, k2=15, fast_minsum=True)
-        _ = float(jnp.sum(d))
-        rr_dts.append(time.perf_counter() - t0)
-    rerank_seconds = min(rr_dts)
+        _ = float(jnp.sum(d))  # compile + run
+        rr_dts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            d = re_ranking(qf, gf, k1=50, k2=15, fast_minsum=True)
+            _ = float(jnp.sum(d))
+            rr_dts.append(time.perf_counter() - t0)
+        return min(rr_dts)
+
+    rerank_seconds = _guard("rerank", _sec_rerank)
 
     # ---- MFU: analytic model FLOPs vs the silicon ----
     fwd_flops = vit_flops_per_image(model.clip_config, num_classes)
-    stage2_achieved_tflops = 3.0 * fwd_flops * stage2_img_per_sec / 1e12
-    eval_achieved_tflops = fwd_flops * feats_per_sec / 1e12
-    rn_flops = rn50_flops_per_image(
-        rn_model.clip_config, rn_model.in_planes, num_classes
+    stage2_achieved_tflops = (
+        3.0 * fwd_flops * stage2_img_per_sec / 1e12
+        if stage2_img_per_sec is not None else None
     )
-    rn50_eval_tflops = rn_flops * rn50_feats_per_sec / 1e12
-    rn50_train_tflops = 3.0 * rn_flops * rn50_train_img_per_sec / 1e12
-    matmul_ceiling_tflops = measure_matmul_ceiling_tflops()
+    eval_achieved_tflops = fwd_flops * feats_per_sec / 1e12
+    rn50_eval_tflops = (rn_flops * rn50_feats_per_sec / 1e12
+                        if rn_flops is not None else None)
+    rn50_train_tflops = (3.0 * rn_flops * rn50_train_img_per_sec / 1e12
+                         if rn_flops is not None else None)
+    matmul_ceiling_tflops = _guard(
+        "matmul_ceiling", measure_matmul_ceiling_tflops
+    )
     device_kind = jax.devices()[0].device_kind
     peak = None
     for kind, tflops in PEAK_BF16_TFLOPS.items():
         if kind.lower() in device_kind.lower():
             peak = tflops
 
+    def _mfu(tf):
+        if tf is None or not matmul_ceiling_tflops:
+            return None
+        return round(tf / matmul_ceiling_tflops, 3)
+
     extras = {
-        "gallery_feats_per_sec_per_chip": round(feats_per_sec, 1),
-        "stage2_train_img_per_sec": round(stage2_img_per_sec, 1),
-        "stage2_img_per_sec_per_step_dispatch": round(
-            stage2_periter_img_per_sec, 1
+        "gallery_feats_per_sec_per_chip": _r(feats_per_sec),
+        "stage2_train_img_per_sec": _r(stage2_img_per_sec),
+        "stage2_img_per_sec_per_step_dispatch": _r(stage2_periter_img_per_sec),
+        "stage1b_img_per_sec": _r(stage1b_img_per_sec),
+        "stage2b_moe_img_per_sec": _r(stage2b_img_per_sec),
+        "rn50_eval_feats_per_sec": _r(rn50_feats_per_sec),
+        "rn50_train_img_per_sec": _r(rn50_train_img_per_sec),
+        "rn50_fwd_gflops_per_img": _r(
+            rn_flops / 1e9 if rn_flops is not None else None, 2
         ),
-        "stage1b_img_per_sec": round(stage1b_img_per_sec, 1),
-        "stage2b_moe_img_per_sec": round(stage2b_img_per_sec, 1),
-        "rn50_eval_feats_per_sec": round(rn50_feats_per_sec, 1),
-        "rn50_train_img_per_sec": round(rn50_train_img_per_sec, 1),
-        "rn50_fwd_gflops_per_img": round(rn_flops / 1e9, 2),
-        "mfu_rn50_eval_vs_measured_matmul": round(
-            rn50_eval_tflops / matmul_ceiling_tflops, 3
-        ),
-        "mfu_rn50_train_vs_measured_matmul": round(
-            rn50_train_tflops / matmul_ceiling_tflops, 3
-        ),
+        "mfu_rn50_eval_vs_measured_matmul": _mfu(rn50_eval_tflops),
+        "mfu_rn50_train_vs_measured_matmul": _mfu(rn50_train_tflops),
         "stage1a_sec_per_iter": round(dt / iters, 4),
-        "stage1a_img_per_sec_per_iter_dispatch": round(
-            stage1a_periter_img_per_sec, 1
-        ),
-        "market_scale_rerank_seconds": round(rerank_seconds, 2),
+        "stage1a_img_per_sec_per_iter_dispatch": _r(stage1a_periter_img_per_sec),
+        "market_scale_rerank_seconds": _r(rerank_seconds, 2),
         # caveat IN the key: the reference comparison ran on this host's
         # single CPU core (see CLAUDE.md) — not a parallel-CPU baseline
-        "market_scale_rerank_speedup_vs_reference_cpu_1core": round(
-            REFERENCE_RERANK_SECONDS / rerank_seconds, 1
+        "market_scale_rerank_speedup_vs_reference_cpu_1core": _r(
+            REFERENCE_RERANK_SECONDS / rerank_seconds
+            if rerank_seconds else None
         ),
         "model_fwd_gflops_per_img": round(fwd_flops / 1e9, 2),
-        "stage2_achieved_tflops": round(stage2_achieved_tflops, 2),
+        "stage2_achieved_tflops": _r(stage2_achieved_tflops, 2),
         "eval_achieved_tflops": round(eval_achieved_tflops, 2),
-        "matmul_tflops_measured": round(matmul_ceiling_tflops, 1),
-        "mfu_stage2_vs_measured_matmul": round(
-            stage2_achieved_tflops / matmul_ceiling_tflops, 3
-        ),
-        "mfu_eval_vs_measured_matmul": round(
-            eval_achieved_tflops / matmul_ceiling_tflops, 3
-        ),
+        "matmul_tflops_measured": _r(matmul_ceiling_tflops),
+        "mfu_stage2_vs_measured_matmul": _mfu(stage2_achieved_tflops),
+        "mfu_eval_vs_measured_matmul": _mfu(eval_achieved_tflops),
         "peak_bf16_tflops_nominal": peak,
-        "mfu_stage2": round(stage2_achieved_tflops / peak, 3) if peak else None,
+        "mfu_stage2": (round(stage2_achieved_tflops / peak, 3)
+                       if peak and stage2_achieved_tflops is not None else None),
         "mfu_eval": round(eval_achieved_tflops / peak, 3) if peak else None,
         "device": str(jax.devices()[0]),
         "device_kind": device_kind,

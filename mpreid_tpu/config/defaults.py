@@ -42,6 +42,10 @@ def _stage_solver() -> CN:
     s.CENTER_LOSS_WEIGHT = 0.0005
     s.GAMMA = 0.1
     s.STEPS = (40, 70)
+    # Adam/SGD moment storage dtype: "float32" (torch-exact) or "bfloat16"
+    # (halves optimizer-state HBM traffic — the Adam update is HBM-bound on
+    # TPU; moment math still accumulates fp32, see solver/optim.py)
+    s.MOMENT_DTYPE = "float32"
     return s
 
 
@@ -82,6 +86,13 @@ def get_default_cfg() -> CN:
     _C.MODEL.STRIDE_SIZE = [16, 16]
     # Shrink the CLIP towers to a 2-layer/64-wide debug model (CLI smoke runs)
     _C.MODEL.DEBUG_TINY = False
+    # Attention QKV param layout per tower: "" → the measured-fastest
+    # defaults (ops/attention.py: vision "packed", text "hm"); explicit
+    # values: "packed" | "hm" (in-graph column permute) | "hm_native"
+    # (params STORED head-major; converters permute on torch import/export).
+    _C.MODEL.ATTN_LAYOUT_VISION = ""
+    _C.MODEL.ATTN_LAYOUT_TEXT = ""
+
     # SIE (side-information embedding)
     _C.MODEL.SIE_COE = 3.0
     _C.MODEL.SIE_CAMERA = False
@@ -161,6 +172,8 @@ def get_default_cfg() -> CN:
     _C.SOLVER.LOG_PERIOD = 100
     _C.SOLVER.EVAL_PERIOD = 10
     _C.SOLVER.IMS_PER_BATCH = 64
+    # Moment storage dtype (see _stage_solver.MOMENT_DTYPE)
+    _C.SOLVER.MOMENT_DTYPE = "float32"
     # Per-stage blocks (Uni-Prompt pipeline)
     _C.SOLVER.STAGE1 = _stage_solver()
     _C.SOLVER.STAGE1A = _stage_solver()

@@ -49,10 +49,46 @@ class CLIPConfig:
     # LoRA adapters on attention projections (0 = disabled)
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # Attention QKV param layouts ('' → the tuned defaults in ops.attention:
+    # MODEL_LAYOUT for vision, TEXT_LAYOUT for text). "hm_native" stores
+    # in_proj params head-major — the converters below permute columns on
+    # torch import/export so checkpoints stay reference-compatible.
+    vision_layout: str = ""
+    text_layout: str = ""
 
     @property
     def is_vit(self) -> bool:
         return isinstance(self.vision_layers, int)
+
+    def _perm(self, tower: str):
+        """Import-time column permutation for a tower (None if packed)."""
+        from mpreid_tpu.ops import attention as attn
+
+        if tower == "text":
+            layout = attn.resolve_layout(self.text_layout, tower="text")
+            d = self.transformer_width
+            heads = self.transformer_heads
+        else:
+            layout = attn.resolve_layout(self.vision_layout, tower="vision")
+            d = self.vision_width
+            heads = self.vision_width // 64
+        if layout != "hm_native":
+            return None
+        return attn.head_major_perm(d, heads)
+
+    def _perm_inverse(self, tower: str):
+        """Export-time inverse permutation (None if packed)."""
+        from mpreid_tpu.ops import attention as attn
+
+        if self._perm(tower) is None:
+            return None
+        if tower == "text":
+            return attn.head_major_perm_inverse(
+                self.transformer_width, self.transformer_heads
+            )
+        return attn.head_major_perm_inverse(
+            self.vision_width, self.vision_width // 64
+        )
 
 
 VIT_B16 = CLIPConfig(
@@ -90,6 +126,7 @@ def make_visual_tower(cfg: CLIPConfig, dtype=jnp.float32, remat: bool = False):
             remat=remat,
             lora_rank=cfg.lora_rank,
             lora_alpha=cfg.lora_alpha,
+            layout=cfg.vision_layout or None,
             name="visual",
         )
     return ModifiedResNet(
@@ -114,6 +151,7 @@ def make_text_tower(cfg: CLIPConfig, dtype=jnp.float32):
         dtype=dtype,
         lora_rank=cfg.lora_rank,
         lora_alpha=cfg.lora_alpha,
+        layout=cfg.text_layout or None,
         name="text",
     )
 
@@ -162,6 +200,7 @@ class CLIP(nn.Module):
 def config_from_state_dict(
     sd: Dict[str, Any], h_resolution: int, w_resolution: int, vision_stride_size: int,
     num_experts: int = 0, top_k: int = 0, moe_layers: int = 0, dropout: float = 0.0,
+    vision_layout: str = "", text_layout: str = "",
 ) -> CLIPConfig:
     """Infer architecture from checkpoint shapes (ref model.py:678-702)."""
     vit = "visual.proj" in sd
@@ -203,6 +242,8 @@ def config_from_state_dict(
         top_k=top_k,
         moe_layers=moe_layers,
         dropout=dropout,
+        vision_layout=vision_layout,
+        text_layout=text_layout,
     )
 
 
@@ -212,12 +253,21 @@ def _np(t) -> np.ndarray:
     return np.asarray(t, dtype=np.float32)
 
 
-def _convert_block(sd: Dict[str, Any], prefix: str) -> Dict[str, Any]:
-    """One ResidualAttentionBlock: torch keys → flax param subtree."""
+def _convert_block(sd: Dict[str, Any], prefix: str, perm=None) -> Dict[str, Any]:
+    """One ResidualAttentionBlock: torch keys → flax param subtree.
+
+    ``perm`` (a head_major_perm array) re-orders the in_proj columns for
+    models whose attention layout is "hm_native" (params stored head-major).
+    """
+    in_kernel = _np(sd[f"{prefix}.attn.in_proj_weight"]).T
+    in_bias = _np(sd[f"{prefix}.attn.in_proj_bias"])
+    if perm is not None:
+        in_kernel = np.ascontiguousarray(in_kernel[:, perm])
+        in_bias = np.ascontiguousarray(in_bias[perm])
     return {
         "attn": {
-            "in_proj_kernel": _np(sd[f"{prefix}.attn.in_proj_weight"]).T,
-            "in_proj_bias": _np(sd[f"{prefix}.attn.in_proj_bias"]),
+            "in_proj_kernel": in_kernel,
+            "in_proj_bias": in_bias,
             "out_proj_kernel": _np(sd[f"{prefix}.attn.out_proj.weight"]).T,
             "out_proj_bias": _np(sd[f"{prefix}.attn.out_proj.bias"]),
         },
@@ -326,8 +376,9 @@ def _convert_vit_visual(sd, cfg: CLIPConfig) -> Tuple[Dict, Dict]:
     n_moe = 0
     if cfg.num_experts > 0 and cfg.top_k > 0:
         n_moe = cfg.vision_layers if cfg.moe_layers == -1 else min(cfg.moe_layers, cfg.vision_layers)
+    perm = cfg._perm("vision")
     for i in range(cfg.vision_layers):
-        block = _convert_block(sd, f"visual.transformer.resblocks.{i}")
+        block = _convert_block(sd, f"visual.transformer.resblocks.{i}", perm)
         if i < n_moe:
             # Initialize every expert MLP from the dense checkpoint MLP
             # (standard upcycling; the reference loads non-strict instead).
@@ -373,8 +424,11 @@ def convert_clip_state_dict(
         },
         "text_projection": _np(sd["text_projection"]),
     }
+    text_perm = cfg._perm("text")
     for i in range(cfg.transformer_layers):
-        text_params[f"resblocks_{i}"] = _convert_block(sd, f"transformer.resblocks.{i}")
+        text_params[f"resblocks_{i}"] = _convert_block(
+            sd, f"transformer.resblocks.{i}", text_perm
+        )
 
     variables = {
         "params": {

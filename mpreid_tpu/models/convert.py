@@ -72,9 +72,10 @@ def _convert_vit_visual_trained(vis_sd, cfg) -> Tuple[Dict, Dict]:
                     "bias": _np(vis_sd["visual.ln_post.bias"])},
         "proj": _np(vis_sd["visual.proj"]),
     }
+    perm = cfg._perm("vision")
     for i in range(cfg.vision_layers):
         params[f"resblocks_{i}"] = _convert_block(
-            vis_sd, f"visual.transformer.resblocks.{i}"
+            vis_sd, f"visual.transformer.resblocks.{i}", perm
         )
     return params, {}
 
@@ -82,12 +83,18 @@ def _convert_vit_visual_trained(vis_sd, cfg) -> Tuple[Dict, Dict]:
 def _convert_vit_moe_trained(vis_sd, cfg, n_moe) -> Tuple[Dict, Dict]:
     params, _ = _convert_vit_visual_trained_moe_base(vis_sd, cfg)
     e = cfg.num_experts
+    perm = cfg._perm("vision")
     for i in range(n_moe):
         prefix = f"visual.transformer.resblocks.{i}"
+        in_kernel = _np(vis_sd[f"{prefix}.attn.in_proj_weight"]).T
+        in_bias = _np(vis_sd[f"{prefix}.attn.in_proj_bias"])
+        if perm is not None:
+            in_kernel = np.ascontiguousarray(in_kernel[:, perm])
+            in_bias = np.ascontiguousarray(in_bias[perm])
         block = {
             "attn": {
-                "in_proj_kernel": _np(vis_sd[f"{prefix}.attn.in_proj_weight"]).T,
-                "in_proj_bias": _np(vis_sd[f"{prefix}.attn.in_proj_bias"]),
+                "in_proj_kernel": in_kernel,
+                "in_proj_bias": in_bias,
                 "out_proj_kernel": _np(vis_sd[f"{prefix}.attn.out_proj.weight"]).T,
                 "out_proj_bias": _np(vis_sd[f"{prefix}.attn.out_proj.bias"]),
             },
@@ -129,9 +136,10 @@ def _convert_vit_visual_trained_moe_base(vis_sd, cfg):
     }
     n_moe = (cfg.vision_layers if cfg.moe_layers == -1
              else min(cfg.moe_layers, cfg.vision_layers))
+    perm = cfg._perm("vision")
     for i in range(n_moe, cfg.vision_layers):
         params[f"resblocks_{i}"] = _convert_block(
-            vis_sd, f"visual.transformer.resblocks.{i}"
+            vis_sd, f"visual.transformer.resblocks.{i}", perm
         )
     return params, {}
 
@@ -196,9 +204,10 @@ def convert_reid_state_dict(sd: Dict[str, Any], model) -> Dict[str, Any]:
                          "bias": _np(sd["text_encoder.ln_final.bias"])},
             "text_projection": _np(sd["text_encoder.text_projection"]),
         }
+        text_perm = model.clip_config._perm("text")
         for i in range(model.clip_config.transformer_layers):
             text[f"resblocks_{i}"] = _convert_block(
-                sd, f"text_encoder.transformer.resblocks.{i}"
+                sd, f"text_encoder.transformer.resblocks.{i}", text_perm
             )
         params["text"] = text
 
@@ -256,7 +265,7 @@ def _t(x):
 
 
 def _export_block(sub: Dict[str, Any], prefix: str, out: Dict[str, Any],
-                  lora_alpha: float = 16.0) -> None:
+                  lora_alpha: float = 16.0, inv_perm=None) -> None:
     """Flax ResidualAttentionBlock subtree → reference torch keys
     (inverse of clip_model._convert_block).
 
@@ -264,14 +273,22 @@ def _export_block(sub: Dict[str, Any], prefix: str, out: Dict[str, Any],
     MultiheadAttention knows nothing of them — so their contribution
     ΔW = (α/r)·A·B is FOLDED into the exported in_proj weight; dropping it
     silently would export wrong effective weights for LoRA-trained models.
+
+    ``inv_perm`` (head_major_perm_inverse) restores torch [q|k|v] column
+    packing for "hm_native"-layout models, whose stored params (and lora_b)
+    are head-major. The LoRA fold happens first, in the stored layout.
     """
     in_kernel = np.asarray(sub["attn"]["in_proj_kernel"], np.float32)
+    in_bias = np.asarray(sub["attn"]["in_proj_bias"], np.float32)
     if "lora_a" in sub["attn"]:
         a = np.asarray(sub["attn"]["lora_a"], np.float32)
         bmat = np.asarray(sub["attn"]["lora_b"], np.float32)
         in_kernel = in_kernel + (lora_alpha / a.shape[1]) * (a @ bmat)
+    if inv_perm is not None:
+        in_kernel = np.ascontiguousarray(in_kernel[:, inv_perm])
+        in_bias = np.ascontiguousarray(in_bias[inv_perm])
     out[f"{prefix}.attn.in_proj_weight"] = _t(in_kernel).T
-    out[f"{prefix}.attn.in_proj_bias"] = _t(sub["attn"]["in_proj_bias"])
+    out[f"{prefix}.attn.in_proj_bias"] = _t(in_bias)
     out[f"{prefix}.attn.out_proj.weight"] = _t(sub["attn"]["out_proj_kernel"]).T
     out[f"{prefix}.attn.out_proj.bias"] = _t(sub["attn"]["out_proj_bias"])
     out[f"{prefix}.ln_1.weight"] = _t(sub["ln_1"]["scale"])
@@ -307,11 +324,12 @@ def _export_vit_visual(vp: Dict, clip_config, out: Dict[str, Any]) -> None:
     out[f"{pre}.ln_post.weight"] = _t(vp["ln_post"]["scale"])
     out[f"{pre}.ln_post.bias"] = _t(vp["ln_post"]["bias"])
     out[f"{pre}.proj"] = _t(vp["proj"])
+    inv_perm = clip_config._perm_inverse("vision")
     for i in range(clip_config.vision_layers):
         prefix = f"{pre}.transformer.resblocks.{i}"
         if f"moe_resblocks_{i}" in vp:
             sub = vp[f"moe_resblocks_{i}"]
-            _export_block(sub, prefix, out, clip_config.lora_alpha)
+            _export_block(sub, prefix, out, clip_config.lora_alpha, inv_perm)
             out[f"{prefix}.gate.weight"] = _t(sub["gate_kernel"]).T
             e = sub["experts"]["c_fc_kernel"].shape[0]
             for m in range(e):
@@ -329,7 +347,7 @@ def _export_vit_visual(vp: Dict, clip_config, out: Dict[str, Any]) -> None:
                 )
         else:
             _export_block(vp[f"resblocks_{i}"], prefix, out,
-                          clip_config.lora_alpha)
+                          clip_config.lora_alpha, inv_perm)
 
 
 def _export_resnet_visual(vp: Dict, vs: Dict, clip_config, out: Dict[str, Any]) -> None:
@@ -434,10 +452,11 @@ def export_reid_state_dict(variables: Dict[str, Any], model) -> Dict[str, Any]:
         out["text_encoder.ln_final.weight"] = _t(tp["ln_final"]["scale"])
         out["text_encoder.ln_final.bias"] = _t(tp["ln_final"]["bias"])
         out["text_encoder.text_projection"] = _t(tp["text_projection"])
+        text_inv = model.clip_config._perm_inverse("text")
         for i in range(model.clip_config.transformer_layers):
             _export_block(
                 tp[f"resblocks_{i}"], f"text_encoder.transformer.resblocks.{i}",
-                out, model.clip_config.lora_alpha,
+                out, model.clip_config.lora_alpha, text_inv,
             )
 
     return out

@@ -47,6 +47,8 @@ def clip_config_from_cfg(cfg) -> CLIPConfig:
         shared_routing=moe.SHARED_ROUTING,
         lora_rank=cfg.SOLVER.LORA.LORA_R if cfg.SOLVER.LORA.ENABLED else 0,
         lora_alpha=float(cfg.SOLVER.LORA.LORA_ALPHA),
+        vision_layout=cfg.MODEL.ATTN_LAYOUT_VISION,
+        text_layout=cfg.MODEL.ATTN_LAYOUT_TEXT,
     )
 
 
@@ -171,6 +173,8 @@ def switch_to_moe(cfg, model, variables) -> Tuple[Any, Dict[str, Any]]:
         shared_routing=moe.SHARED_ROUTING,
         lora_rank=cfg.SOLVER.LORA.LORA_R if cfg.SOLVER.LORA.ENABLED else 0,
         lora_alpha=float(cfg.SOLVER.LORA.LORA_ALPHA),
+        vision_layout=cfg.MODEL.ATTN_LAYOUT_VISION,
+        text_layout=cfg.MODEL.ATTN_LAYOUT_TEXT,
     )
     new_model = _dc.replace(model, clip_config=new_clip)
     # every value below is either grafted from the old tree, tiled from the
@@ -232,6 +236,7 @@ def load_pretrained(
     _, clip_vars = load_torch_clip(
         path, c.h_resolution, c.w_resolution, c.vision_stride_size,
         num_experts=c.num_experts, top_k=c.top_k, moe_layers=c.moe_layers,
-        dropout=c.dropout,
+        dropout=c.dropout, vision_layout=c.vision_layout,
+        text_layout=c.text_layout,
     )
     return graft_clip_variables(variables, clip_vars)

@@ -64,9 +64,12 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: float = 16.0
-    # QKV layout: None → ops.attention.MODEL_LAYOUT default. "hm" is faster
-    # for towers whose in_proj weights are FROZEN during training (no
-    # backward scatter through the column permute) — the text tower opts in.
+    # QKV layout: None → ops.attention.MODEL_LAYOUT default. "hm" (in-graph
+    # column permute of packed params) is faster for towers whose in_proj
+    # weights are FROZEN during training (no backward scatter through the
+    # permute); "hm_native" STORES the params head-major (converters handle
+    # torch interop) so even TRAINED towers get the tiled kernels without
+    # any permute in the graph. See ops.attention.MODEL_LAYOUT.
     layout: Optional[str] = None
 
     @nn.compact
@@ -92,11 +95,13 @@ class MultiHeadAttention(nn.Module):
         from mpreid_tpu.ops import attention as attn
 
         layout = self.layout if self.layout is not None else attn.MODEL_LAYOUT
-        head_major = layout == "hm"
-        if head_major:
+        head_major = layout in ("hm", "hm_native")
+        if layout == "hm":
             perm = attn.head_major_perm(d, self.num_heads)
             in_kernel = in_kernel[:, perm]
             in_bias = in_bias[perm]
+        # "hm_native": in_proj_kernel/bias (and lora_b) are ALREADY stored in
+        # head-major column order — converters permute on import/export.
         qkv = (
             jnp.dot(x, in_kernel.astype(self.dtype), preferred_element_type=jnp.float32)
             + in_bias
@@ -109,7 +114,7 @@ class MultiHeadAttention(nn.Module):
             lora_b = self.param(
                 "lora_b", nn.initializers.zeros, (self.lora_rank, 3 * d), jnp.float32
             )
-            if head_major:
+            if layout == "hm":
                 lora_b = lora_b[:, perm]
             scale = self.lora_alpha / self.lora_rank
             delta = jnp.dot(

@@ -125,6 +125,7 @@ class MoEResidualAttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    layout: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -138,7 +139,8 @@ class MoEResidualAttentionBlock(nn.Module):
         b, l, d = x.shape
         x = x + MultiHeadAttention(
             self.dim, self.num_heads, dtype=self.dtype,
-            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha, name="attn",
+            lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            layout=self.layout, name="attn",
         )(
             LayerNorm(self.dim, name="ln_1")(x), mask
         )

@@ -16,6 +16,8 @@ Exposes two entry points:
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -39,6 +41,11 @@ class TextTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # attention QKV layout; None → ops.attention.TEXT_LAYOUT ("hm": measured
+    # faster for this tower, whose in_proj weights are frozen in every
+    # training stage — tools/bench_stages_ab.py). "hm_native" additionally
+    # stores the params head-major, removing the per-step forward gather.
+    layout: Optional[str] = None
 
     def setup(self):
         self.token_embedding = nn.Embed(
@@ -54,14 +61,13 @@ class TextTransformer(nn.Module):
             (self.context_length, self.width),
             jnp.float32,
         )
+        from mpreid_tpu.ops import attention as attn
+
         self.resblocks = [
             ResidualAttentionBlock(
                 self.width, self.heads, dtype=self.dtype,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                # head-major QKV: measured faster for this tower, whose
-                # in_proj weights are frozen in every training stage
-                # (tools/bench_stages_ab.py; see ops.attention.MODEL_LAYOUT)
-                layout="hm",
+                layout=attn.resolve_layout(self.layout, tower="text"),
                 name=f"resblocks_{i}",
             )
             for i in range(self.layers)

@@ -83,6 +83,9 @@ class VisionTransformer(nn.Module):
     remat: bool = False
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # attention QKV layout (None → ops.attention.MODEL_LAYOUT; "hm_native"
+    # stores in_proj params head-major — see models/layers.py)
+    layout: Optional[str] = None
 
     @property
     def use_moe(self) -> bool:
@@ -163,6 +166,7 @@ class VisionTransformer(nn.Module):
                     dtype=self.dtype,
                     lora_rank=self.lora_rank,
                     lora_alpha=self.lora_alpha,
+                    layout=self.layout,
                     name=f"moe_resblocks_{i}",
                 )(x, None, routing=routing, deterministic=deterministic)
                 if logits_i is not None:
@@ -175,18 +179,18 @@ class VisionTransformer(nn.Module):
             for i in range(n_moe, self.layers):
                 x = block_cls(w, self.heads, dtype=self.dtype,
                               lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                              name=f"resblocks_{i}")(x)
+                              layout=self.layout, name=f"resblocks_{i}")(x)
             x11 = x12 = x  # ref model.py:450-454
         else:
             for i in range(self.layers - 1):
                 x = block_cls(w, self.heads, dtype=self.dtype,
                               lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                              name=f"resblocks_{i}")(x)
+                              layout=self.layout, name=f"resblocks_{i}")(x)
             x11 = x
             x12 = block_cls(
                 w, self.heads, dtype=self.dtype,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                name=f"resblocks_{self.layers - 1}"
+                layout=self.layout, name=f"resblocks_{self.layers - 1}"
             )(x11)
 
         x12 = LayerNorm(w, name="ln_post")(x12)

@@ -269,16 +269,31 @@ _BT_HM = 32                 # batch elements per grid step
 _HG_HM = 2                  # heads per grid step (lower bound; see _pick_hg)
 _HM_VMEM_LIMIT = 32 << 20   # Mosaic scoped-VMEM limit for BOTH hm kernels
 
-# Default layout the model layer emits (models/layers.py): "hm" permutes the
-# in_proj weight columns statically and runs the (batch × head-group)-tiled
-# kernels; "packed" is the whole-row kernel. Same math bitwise either way.
-# Measured in-model on the v5e (tools/bench_stages_ab.py): "hm" wins for the
-# FROZEN text tower (stage-1a 7859 vs 7680 img/s — the column permute of a
-# frozen weight has no backward scatter), "packed" wins for the TRAINABLE
-# vision tower (stage-2a 1625 vs 1594 — the permute's gather/scatter pair on
-# a trained weight costs ~2%). models/text.py opts into "hm"; everything
-# else uses this default.
-MODEL_LAYOUT = "packed"
+# Default layouts the model layers emit (models/layers.py):
+#   "packed"    — params in torch [q|k|v] packing, whole-row kernel.
+#   "hm"        — params stay packed, in_proj columns permuted IN-GRAPH each
+#                 step, (batch × head-group)-tiled kernels.
+#   "hm_native" — params are STORED head-major (converters permute at
+#                 import/export, models/clip_model.py), no in-graph permute,
+#                 same tiled kernels. Removes the permute's gather (fwd) and
+#                 scatter (bwd) entirely — the right choice for towers whose
+#                 in_proj weights TRAIN (the in-graph "hm" permute on trained
+#                 weights measured ~2% slower than packed: stage-2a 1625
+#                 packed vs 1594 hm, tools/bench_stages_ab.py).
+# Same math bitwise in all three. MODEL_LAYOUT is the vision-tower default,
+# TEXT_LAYOUT the text-tower default. "hm_native" measured fastest for BOTH
+# on the v5e (tools/bench_stages_ab.py, round 3): stage-2a vision 1661
+# (native) vs 1621 (packed) vs 1578 (hm) img/s; stage-1a text 7902 (native)
+# vs 7714 (hm) img/s. Overridable per model via MODEL.ATTN_LAYOUT_{VISION,TEXT}.
+MODEL_LAYOUT = "hm_native"
+TEXT_LAYOUT = "hm_native"
+
+
+def resolve_layout(layout: Optional[str], tower: str = "vision") -> str:
+    """Map a config/module layout value ('' or None → tuned default)."""
+    if layout:
+        return layout
+    return TEXT_LAYOUT if tower == "text" else MODEL_LAYOUT
 
 
 def _pick_hg(dh: int, num_heads: int, requested: int) -> int:
@@ -306,6 +321,16 @@ def head_major_perm(d: int, num_heads: int) -> np.ndarray:
             start = part * d + h * dh
             idx.extend(range(start, start + dh))
     return np.asarray(idx, np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def head_major_perm_inverse(d: int, num_heads: int) -> np.ndarray:
+    """Inverse column permutation: per-head [q_h|k_h|v_h] → torch [q|k|v].
+
+    ``x[head_major_perm(...)][head_major_perm_inverse(...)] == x`` — used by
+    the converters to export natively head-major ("hm_native") parameters
+    back to the reference's packed state_dict layout."""
+    return np.argsort(head_major_perm(d, num_heads)).astype(np.int32)
 
 
 def mha_reference_hm(qkv: jax.Array, num_heads: int,

@@ -14,15 +14,27 @@ from mpreid_tpu.models.convert import apply_overlay, convert_reid_state_dict
 from tiny import tiny_cfg, tiny_model
 
 
-def torch_layout_from_variables(v, uniprompt: bool):
-    """Inverse mapping: our variables → reference state_dict key layout."""
+def torch_layout_from_variables(v, uniprompt: bool, model=None):
+    """Inverse mapping: our variables → reference state_dict key layout.
+
+    ``model`` (when given) supplies clip_config so "hm_native"-layout
+    in_proj params are restored to torch [q|k|v] packing — required since
+    hm_native became the default storage layout."""
     p = v["params"]
     bs = v["batch_stats"]
     sd = {}
+    inv = {"vision": None, "text": None}
+    if model is not None:
+        inv = {t: model.clip_config._perm_inverse(t) for t in ("vision", "text")}
 
-    def put_block(prefix, blk):
-        sd[f"{prefix}.attn.in_proj_weight"] = np.asarray(blk["attn"]["in_proj_kernel"]).T
-        sd[f"{prefix}.attn.in_proj_bias"] = np.asarray(blk["attn"]["in_proj_bias"])
+    def put_block(prefix, blk, tower="vision"):
+        in_kernel = np.asarray(blk["attn"]["in_proj_kernel"])
+        in_bias = np.asarray(blk["attn"]["in_proj_bias"])
+        if inv[tower] is not None:
+            in_kernel = in_kernel[:, inv[tower]]
+            in_bias = in_bias[inv[tower]]
+        sd[f"{prefix}.attn.in_proj_weight"] = in_kernel.T
+        sd[f"{prefix}.attn.in_proj_bias"] = in_bias
         sd[f"{prefix}.attn.out_proj.weight"] = np.asarray(blk["attn"]["out_proj_kernel"]).T
         sd[f"{prefix}.attn.out_proj.bias"] = np.asarray(blk["attn"]["out_proj_bias"])
         for ln in ("ln_1", "ln_2"):
@@ -79,7 +91,8 @@ def torch_layout_from_variables(v, uniprompt: bool):
         sd["text_encoder.text_projection"] = np.asarray(txt["text_projection"])
         i = 0
         while f"resblocks_{i}" in txt:
-            put_block(f"text_encoder.transformer.resblocks.{i}", txt[f"resblocks_{i}"])
+            put_block(f"text_encoder.transformer.resblocks.{i}",
+                      txt[f"resblocks_{i}"], tower="text")
             i += 1
     return sd
 
@@ -105,7 +118,7 @@ def test_roundtrip(uniprompt):
         variables["batch_stats"][name]["mean"] = jax.random.normal(
             jax.random.PRNGKey(1), variables["batch_stats"][name]["mean"].shape)
 
-    sd = torch_layout_from_variables(variables, uniprompt)
+    sd = torch_layout_from_variables(variables, uniprompt, model)
     # simulate DataParallel 'module.' prefixes (ref load_param strips them)
     sd = {f"module.{k}": v for k, v in sd.items()}
     overlay = convert_reid_state_dict(sd, model)

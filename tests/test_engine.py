@@ -86,6 +86,25 @@ class TestBaselineTrain:
         r1, _ = do_inference(cfg2, model, new_vars, val, num_query)
         assert 0.0 <= r1 <= 1.0
 
+    def test_bf16_moments_train(self, market_env):
+        """SOLVER.MOMENT_DTYPE bfloat16 works through the full jitted
+        donated train step: loss still decreases, moments stored bf16."""
+        cfg, (tl2, tl1, val, num_query, num_classes, cams, views) = market_env
+        cfg2 = tiny_cfg()
+        cfg2.DATASETS.NAMES = cfg.DATASETS.NAMES
+        cfg2.SOLVER.MOMENT_DTYPE = "bfloat16"
+        cfg2.SOLVER.BASE_LR = 3e-3
+        model, variables = tiny_model(cfg2, num_classes=num_classes)
+        loss_fn, _ = make_loss(cfg2, num_classes)
+        opt = make_optimizer(cfg2.SOLVER, variables["params"], stage="baseline")
+        state, history = do_train(
+            cfg2, model, variables, tl2, None, opt,
+            lambda e: cfg2.SOLVER.BASE_LR, loss_fn, num_query, max_epochs=4,
+        )
+        assert history[-1]["loss"] < history[0]["loss"]
+        leaves = jax.tree_util.tree_leaves(state.opt_state.mu)
+        assert all(l.dtype == jnp.bfloat16 for l in leaves)
+
     def test_center_loss_path(self, market_env):
         cfg, (tl2, tl1, val, num_query, num_classes, cams, views) = market_env
         cfg2 = tiny_cfg()

@@ -192,6 +192,43 @@ class TestOptimizerMath:
         )
         np.testing.assert_allclose(np.asarray(p1["bias"]), np.asarray(params["bias"]))
 
+    def test_bf16_moments_track_fp32_trajectory(self):
+        # MOMENT_DTYPE bfloat16: moments STORED rounded, math still fp32.
+        # Over a multi-step quadratic descent the trajectory must stay within
+        # bf16 rounding (~0.4% relative) of the fp32 optimizer's.
+        cfg32 = get_default_cfg()
+        cfg16 = get_default_cfg()
+        cfg16.SOLVER.MOMENT_DTYPE = "bfloat16"
+        for c in (cfg32, cfg16):
+            c.SOLVER.WEIGHT_DECAY = 0.0
+            c.SOLVER.WEIGHT_DECAY_BIAS = 0.0
+
+        params = self.quad_params()
+        target = {"w": jnp.array([0.0, 1.0, -1.0]), "bias": jnp.array([0.0])}
+
+        def run(cfg):
+            opt = Optimizer("Adam", params, cfg.SOLVER, stage="baseline")
+            train, frozen = opt.partition(params)
+            state = opt.init(params)
+            tgt, _ = opt.partition(target)
+            for _ in range(25):
+                g = {k: 2.0 * (train[k] - tgt[k]) for k in train}
+                train, state = opt.update(g, state, train, 1e-2)
+            return opt, train, state
+
+        opt16, t16, s16 = run(cfg16)
+        _, t32, _ = run(cfg32)
+        assert all(v.dtype == jnp.bfloat16 for v in s16.mu.values())
+        assert all(v.dtype == jnp.bfloat16 for v in s16.nu.values())
+        for k in t32:
+            np.testing.assert_allclose(
+                np.asarray(t32[k]), np.asarray(t16[k]), rtol=0, atol=5e-3
+            )
+        # fp32 default stays exactly fp32 (torch-parity path untouched)
+        opt32 = Optimizer("Adam", params, cfg32.SOLVER, stage="baseline")
+        st = opt32.init(params)
+        assert all(v.dtype == jnp.float32 for v in st.mu.values())
+
     def test_partition_excludes_frozen(self):
         cfg = get_default_cfg()
         params = {"prompt_learner": {"ctx_generic": jnp.ones(4), "ctx_modality": jnp.ones(4)}}

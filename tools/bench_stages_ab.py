@@ -1,11 +1,14 @@
 """A/B the attention layout + policy inside the real stage-1a/2a steps.
 
-Configs: (MODEL_LAYOUT, masked-policy) — 'packed'/'hm' × 'pallas'/'xla'.
-Each config re-traces the jitted step fresh (settings are read at trace
-time). Prints img/s per config for stage-1a (epoch scan) and stage-2a
-(20-step loop).
+Stage-1a is text-tower-only → sweeps TEXT_LAYOUT ('hm'/'hm_native'; the
+masked-policy rows 'pallas'/'xla' kept for re-verification). Stage-2a is
+vision-tower-dominated → sweeps MODEL_LAYOUT ('packed'/'hm'/'hm_native').
+Each config re-traces the jitted step fresh (layout globals are read at
+trace time). NOTE: for the *_native rows the randomly-initialized params are
+simply reinterpreted as head-major — numerics differ from packed but the
+compute graph (what we time) is the layout's real graph.
 
-Usage: python tools/bench_stages_ab.py [stage1|stage2|both]
+Prints img/s per config. Usage: python tools/bench_stages_ab.py [stage1|stage2|both]
 """
 
 import sys
@@ -21,8 +24,9 @@ import jax.numpy as jnp  # noqa: E402
 from mpreid_tpu.ops import attention as attn  # noqa: E402
 
 
-def set_config(layout, masked_policy):
-    attn.MODEL_LAYOUT = layout
+def set_config(vision_layout, text_layout, masked_policy):
+    attn.MODEL_LAYOUT = vision_layout
+    attn.TEXT_LAYOUT = text_layout
     # monkeypatch the auto policy by wrapping force resolution
     attn._MASKED_POLICY = masked_policy
 
@@ -123,20 +127,22 @@ def main():
     what = sys.argv[1] if len(sys.argv) > 1 else "both"
     patch_policy()
     cfg, model, variables = build()
-    configs = [
-        ("packed", "pallas"),   # current default (vision; text uses hm+pallas)
-        ("packed", "xla"),
-        ("hm", "pallas"),
-        ("hm", "xla"),          # measured dead end (kept for re-verification)
-    ]
-    for layout, pol in configs:
-        set_config(layout, pol)
-        out = [f"layout={layout:6s} masked={pol:6s}"]
-        if what in ("stage1", "both"):
-            out.append(f"stage1a {bench_stage1(cfg, model, variables):7.1f} img/s")
-        if what in ("stage2", "both"):
-            out.append(f"stage2a {bench_stage2(cfg, model, variables):7.1f} img/s")
-        print("  ".join(out), flush=True)
+    if what in ("stage1", "both"):
+        for text_layout, pol in [
+            ("hm", "pallas"),          # current default
+            ("hm_native", "pallas"),   # stored-head-major (no fwd gather)
+            ("hm", "xla"),             # measured dead end (re-verification)
+        ]:
+            set_config("packed", text_layout, pol)
+            ips = bench_stage1(cfg, model, variables)
+            print(f"stage1a text={text_layout:9s} masked={pol:6s} "
+                  f"{ips:7.1f} img/s", flush=True)
+    if what in ("stage2", "both"):
+        for vision_layout in ("packed", "hm", "hm_native"):
+            set_config(vision_layout, "hm", "pallas")
+            ips = bench_stage2(cfg, model, variables)
+            print(f"stage2a vision={vision_layout:9s} "
+                  f"{ips:7.1f} img/s", flush=True)
 
 
 if __name__ == "__main__":
