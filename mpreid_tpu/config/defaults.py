@@ -242,6 +242,14 @@ def get_default_cfg() -> CN:
     # Shard the eval gallery over the mesh 'data' axis (multi-chip eval;
     # the full QxG distmat never materializes on one device)
     _C.TPU.EVAL_SHARDED = False
+    # Persistent XLA compilation-cache directory ("" = disabled). Step
+    # programs compile once per (stage, shape); across process restarts the
+    # cache turns 20-40 s TPU recompiles into disk loads (utils/platform.py).
+    _C.TPU.COMPILE_CACHE_DIR = ""
+    # ZeRO-1: shard optimizer moments over the mesh 'data' axis (1/N state
+    # per device, bitwise-identical updates; parallel/zero.py). Takes effect
+    # whenever training runs over a mesh.
+    _C.TPU.ZERO_OPT_STATE = False
     # Keep the decoded train set in HBM and compile whole epochs as one scan
     # (for datasets that fit; Market-1501 at 256x128 is ~1.2 GB uint8).
     # Removes all host round-trips and uploads from the training hot loop.

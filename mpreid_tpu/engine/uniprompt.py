@@ -194,6 +194,11 @@ def do_train_stage2(
         mesh = mesh_from_cfg(cfg)
         variables = shard_variables(variables, mesh)
         logger.info(f"Training over mesh {dict(mesh.shape)}")
+        if getattr(cfg.TPU, "ZERO_OPT_STATE", False):
+            from mpreid_tpu.parallel import zero_sharded
+
+            optimizer = zero_sharded(optimizer, mesh)
+            logger.info("ZeRO-1: optimizer moments sharded over 'data'")
     with_center = "center" in cfg.MODEL.METRIC_LOSS_TYPE
     train_step = make_train_step(
         model, cfg, loss_fn, optimizer, uniprompt=True, text_features=text_features,

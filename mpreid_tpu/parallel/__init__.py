@@ -9,3 +9,4 @@ from .mesh import (
     shard_batch,
     shard_variables,
 )
+from .zero import ZeroOptimizer, zero_sharded

@@ -1,0 +1,141 @@
+"""ZeRO-1-style sharded optimizer state over the mesh 'data' axis.
+
+The reference replicates optimizer state per DDP rank (torch Adam inside
+DataParallel/DDP, ref make_optimizer.py + train.py:61-62) — for Adam that
+is 2 extra fp32 copies of every trainable parameter on EVERY device. On a
+TPU mesh the moments don't need to replicate: each data-parallel shard can
+own 1/N of them, update its slice, and share only the slice of the *step*
+it computed (ZeRO stage 1, Rajbhandari et al. 2020 — the public algorithm;
+this is an original JAX/GSPMD formulation, no reference analogue exists).
+
+TPU-native formulation: no manual collectives. Moments are stored as
+flattened 1-D leaves padded to a multiple of the axis size and placed with
+``NamedSharding(mesh, P('data'))``; inside the jitted train step the
+gradients and parameters are reshaped to the same layout and
+``with_sharding_constraint`` tells GSPMD the update math is 1/N-sharded.
+XLA then partitions the elementwise Adam/SGD update and inserts one
+all-gather to rebuild the replicated updated parameters — exactly the
+ZeRO-1 communication pattern (all-gather of updated params) chosen by the
+compiler rather than hand-written NCCL.
+
+Numerics are BITWISE identical to the replicated `solver.optim.Optimizer`:
+the update is purely elementwise, padding lanes are zeros that never feed
+back, and reshape/slice are exact (`tests/test_zero.py`).
+
+Persistent-memory math for stage-2 (87M trainable params, fp32 moments):
+replicated state = 696 MB/device; over an 8-wide data axis ZeRO-1 keeps
+87 MB/device. Composes with ``SOLVER.MOMENT_DTYPE bfloat16`` (halves it
+again). Enable with ``TPU.ZERO_OPT_STATE True`` (engine wires it whenever
+a mesh is active).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mpreid_tpu.solver.optim import Optimizer, OptState
+
+
+class ZeroOptimizer(Optimizer):
+    """`solver.optim.Optimizer` with moments sharded over a mesh axis.
+
+    Construct via :func:`zero_sharded` from an existing optimizer — the
+    torch-semantics math, trainable partition, per-leaf lr multipliers and
+    weight decay all carry over; only the *storage layout* of ``mu``/``nu``
+    and the sharding of the update computation change.
+
+    Only leaves whose `parallel.mesh.param_spec` is replicated are ZeRO'd:
+    TP/EP-sharded parameters (classifier kernels, expert stacks, prompt
+    contexts) are already distributed over 'model' — flattening them to
+    `P('data')` would force a per-step reshard (observed as an SPMD
+    "involuntary full rematerialization" warning); their moments keep the
+    parameter's own layout instead.
+    """
+
+    # built via zero_sharded(); never constructed directly
+    mesh = None
+    axis = "data"
+    zero_keys = frozenset()
+
+    # -- layout helpers -----------------------------------------------------
+    @property
+    def _nshard(self) -> int:
+        return int(self.mesh.shape[self.axis])
+
+    def _sharded(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(self.axis))
+
+    def _replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def _pad1(self, x: jax.Array) -> jax.Array:
+        """Flatten to 1-D and zero-pad to a multiple of the shard count."""
+        x = x.reshape(-1)
+        pad = (-x.shape[0]) % self._nshard
+        return jnp.pad(x, (0, pad)) if pad else x
+
+    # -- optimizer ----------------------------------------------------------
+    def init(self, params) -> OptState:
+        train, _ = self.partition(params)
+        shard = self._sharded()
+
+        def zeros(k, p):
+            if k not in self.zero_keys:
+                return jnp.zeros(p.shape, self.moment_dtype)
+            n = int(np.prod(p.shape) or 1)
+            n += (-n) % self._nshard
+            return jax.device_put(jnp.zeros((n,), self.moment_dtype), shard)
+
+        return OptState(
+            step=jnp.zeros((), jnp.int32),
+            mu={k: zeros(k, p) for k, p in train.items()},
+            nu={k: zeros(k, p) for k, p in train.items()},
+        )
+
+    def update(self, grads: Dict, state: OptState, train: Dict, lr
+               ) -> Tuple[Dict, OptState]:
+        shard, rep = self._sharded(), self._replicated()
+        wsc = jax.lax.with_sharding_constraint
+        zk = self.zero_keys
+        g1 = {k: wsc(self._pad1(g), shard) if k in zk else g
+              for k, g in grads.items()}
+        t1 = {k: wsc(self._pad1(p), shard) if k in zk else p
+              for k, p in train.items()}
+        # base math is elementwise per-leaf — identical on flattened shards;
+        # non-ZeRO leaves pass through in their native shape/sharding
+        new_t1, new_state = super().update(g1, state, t1, lr)
+        new_train = {
+            k: wsc(
+                new_t1[k][: int(np.prod(p.shape) or 1)].reshape(p.shape), rep
+            ) if k in zk else new_t1[k]
+            for k, p in train.items()
+        }
+        return new_train, new_state
+
+
+def zero_sharded(base: Optimizer, mesh, axis: str = "data") -> ZeroOptimizer:
+    """Rebind an optimizer's state layout to ZeRO-1 sharding over ``mesh``.
+
+    Shares every configured attribute with ``base`` (no re-derivation); the
+    returned optimizer must be the one passed to BOTH ``initial_state`` and
+    ``make_train_step`` so init layout and update constraints agree.
+    """
+    from mpreid_tpu.parallel.mesh import param_spec
+
+    if int(mesh.shape[axis]) < 1:
+        raise ValueError(f"mesh has no axis {axis!r}")
+    z = ZeroOptimizer.__new__(ZeroOptimizer)
+    z.__dict__.update(base.__dict__)
+    z.mesh = mesh
+    z.axis = axis
+    # ZeRO only what would otherwise replicate (see class docstring)
+    z.zero_keys = frozenset(
+        k for k, t in base._trainable_flat.items()
+        if t and param_spec("/".join(k)) == P()
+    )
+    return z

@@ -64,3 +64,27 @@ def test_unknown_key_rejected():
     cfg = get_default_cfg()
     with pytest.raises(KeyError):
         cfg.merge_from_list(["MODEL.NOT_A_KEY", "1"])
+
+
+def test_compile_cache_dir(tmp_path):
+    """TPU.COMPILE_CACHE_DIR wires the persistent XLA compilation cache
+    (utils/platform.py::apply_compile_cache): compiled programs land in the
+    directory and are loadable on recompile."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpreid_tpu.utils.platform import apply_compile_cache
+
+    cfg = get_default_cfg()
+    cfg.TPU.COMPILE_CACHE_DIR = str(tmp_path / "xla_cache")
+    apply_compile_cache(cfg)
+    try:
+        # the 1 s compile-time floor skips toy programs; drop it for the test
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        f = jax.jit(lambda x: jnp.tanh(x) @ x.T + 3.25)
+        _ = f(jnp.ones((32, 32))).block_until_ready()
+        entries = list((tmp_path / "xla_cache").iterdir())
+        assert entries, "no compilation cache entries written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
