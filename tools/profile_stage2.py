@@ -65,53 +65,70 @@ def parse_xplane(out_dir):
         xs.ParseFromString(f.read())
 
     by_cat = collections.Counter()
+    cat_flops = collections.Counter()
+    cat_bytes = collections.Counter()
     by_name = collections.Counter()
     total = 0
     for plane in xs.planes:
         stat_names = {m.id: m.name for m in plane.stat_metadata.values()}
-        event_names = {m.id: m.name for m in plane.event_metadata.values()}
+        # hlo_category / flops / bytes_accessed live on the EVENT METADATA
+        # (per-op), not on the per-occurrence event stats
+        meta = {}
+        for mid, m in plane.event_metadata.items():
+            cat, flops, nbytes = "?", 0, 0
+            for s in m.stats:
+                n = stat_names.get(s.metadata_id)
+                if n == "hlo_category":
+                    cat = s.str_value or "?"
+                elif n == "flops":
+                    flops = s.int64_value
+                elif n == "bytes_accessed":
+                    nbytes = s.int64_value
+            meta[mid] = (m.name, cat, flops, nbytes)
         for line in plane.lines:
             if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 dur = ev.duration_ps / 1e12
                 total += dur
-                cat = "?"
-                for st in ev.stats:
-                    if stat_names.get(st.metadata_id) == "hlo_category":
-                        # categorical stats are refs into stat_metadata
-                        cat = (st.str_value
-                               or stat_names.get(st.ref_value, "?"))
+                nm, cat, flops, nbytes = meta.get(
+                    ev.metadata_id, ("?", "?", 0, 0)
+                )
                 by_cat[cat] += dur
-                nm = event_names.get(ev.metadata_id, "?")
+                cat_flops[cat] += flops
+                cat_bytes[cat] += nbytes
                 by_name[nm.split(".")[0]] += dur
-    return by_cat, by_name, total
+    return by_cat, cat_flops, cat_bytes, by_name, total
 
 
 def main():
     import jax
 
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stage2_profile"
-    step, state, batch_d = build_step()
-    key = jax.random.PRNGKey(0)
-    state, m = step(state, batch_d, 5e-6, key)
-    _ = float(m["loss"])  # compile + warm
-    for _ in range(3):
+    args = [a for a in sys.argv[1:] if a != "--parse-only"]
+    out_dir = args[0] if args else "/tmp/stage2_profile"
+    if "--parse-only" not in sys.argv:
+        step, state, batch_d = build_step()
+        key = jax.random.PRNGKey(0)
         state, m = step(state, batch_d, 5e-6, key)
-    _ = float(m["loss"])
-
-    with jax.profiler.trace(out_dir):
-        for _ in range(5):
+        _ = float(m["loss"])  # compile + warm
+        for _ in range(3):
             state, m = step(state, batch_d, 5e-6, key)
         _ = float(m["loss"])
 
-    by_cat, by_name, total = parse_xplane(out_dir)
+        with jax.profiler.trace(out_dir):
+            for _ in range(5):
+                state, m = step(state, batch_d, 5e-6, key)
+            _ = float(m["loss"])
+
+    by_cat, cat_flops, cat_bytes, by_name, total = parse_xplane(out_dir)
     n_steps = 5
     print(f"total device time: {total*1e3:.2f} ms over {n_steps} steps "
           f"({total/n_steps*1e3:.2f} ms/step)")
-    print("\nby hlo_category (ms/step):")
+    print("\nby hlo_category (ms/step | achieved TF/s | GB/s):")
     for cat, dur in by_cat.most_common(15):
-        print(f"  {cat:28s} {dur/n_steps*1e3:8.3f}")
+        tfs = cat_flops[cat] / dur / 1e12 if dur else 0.0
+        gbs = cat_bytes[cat] / dur / 1e9 if dur else 0.0
+        print(f"  {cat:28s} {dur/n_steps*1e3:8.3f} | {tfs:6.1f} | {gbs:7.1f}")
     print("\ntop ops (ms/step):")
     for nm, dur in by_name.most_common(25):
         print(f"  {nm:44s} {dur/n_steps*1e3:8.3f}")
