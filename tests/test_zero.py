@@ -143,3 +143,52 @@ def test_zero_engine_integration(tmp_path):
     flat = state.opt_state.mu
     one_d = [k for k, v in flat.items() if v.ndim == 1]
     assert one_d, "no ZeRO'd moment leaves in engine state"
+
+
+def test_zero_checkpoint_resume(tmp_path):
+    """ZeRO-layout opt state round-trips through orbax save/load and keeps
+    training bitwise-aligned with an uninterrupted run."""
+    from mpreid_tpu.engine.train_state import TrainState, initial_state
+    from mpreid_tpu.solver.optim import OptState
+    from mpreid_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+        unnest_opt_state,
+    )
+
+    cfg = get_default_cfg()
+    params = _params()
+    mesh = make_mesh(data=len(jax.devices()), model=1)
+    zero = zero_sharded(Optimizer("Adam", params, cfg.SOLVER, stage="baseline"), mesh)
+
+    train, _frozen = zero.partition(params)
+    state = zero.init(params)
+    step = jax.jit(lambda g, s, t, lr: zero.update(g, s, t, lr))
+    for i in range(3):
+        train, state = step(_grads_like(train, i), state, train, 1e-2)
+
+    full = TrainState(
+        params=Optimizer.merge(train, _frozen), batch_stats={},
+        opt_state=state, centers=None,
+    )
+    save_checkpoint(str(tmp_path / "zck"), full, epoch=3)
+    restored = load_checkpoint(str(tmp_path / "zck"))
+    rstate = unnest_opt_state(restored["opt_state"])
+    assert isinstance(rstate, OptState)
+    for k in state.mu:
+        np.testing.assert_array_equal(
+            np.asarray(state.mu[k]), np.asarray(rstate.mu[k]), err_msg=str(k)
+        )
+
+    # continue 2 more steps from the restore vs uninterrupted — bitwise
+    rtrain, _ = zero.partition(restored["params"])
+    cont_t, cont_s = rtrain, rstate
+    ref_t, ref_s = train, state
+    for i in range(3, 5):
+        g = _grads_like(ref_t, i)
+        ref_t, ref_s = step(g, ref_s, ref_t, 1e-2)
+        cont_t, cont_s = step(g, cont_s, cont_t, 1e-2)
+    for k in ref_t:
+        np.testing.assert_array_equal(
+            np.asarray(ref_t[k]), np.asarray(cont_t[k]), err_msg=str(k)
+        )

@@ -1,11 +1,17 @@
-"""Profile the stage-2 train step on the TPU and print the op breakdown.
+"""Profile the stage-2 train step (or eval forward) on the TPU.
 
 Uses jax.profiler.trace and parses the xplane.pb directly (the
 tensorboard_plugin_profile converter is version-broken on this host —
-see CLAUDE.md). Aggregates the XLA-Ops line by hlo_category and by op
-name prefix so kernel-level hot spots are visible.
+see CLAUDE.md). Aggregates the XLA-Ops line by hlo_category (with achieved
+TF/s and GB/s per category — a roofline view) and by op name prefix.
 
-Usage: PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python tools/profile_stage2.py [out_dir]
+Usage:
+  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
+      python tools/profile_stage2.py [out_dir] [--eval] [--parse-only]
+
+--eval profiles the batch-128 eval forward (the gallery-extraction
+north-star) instead of the stage-2 train step. --parse-only re-analyzes an
+existing trace directory without touching the device.
 """
 
 import collections
@@ -52,6 +58,51 @@ def build_step():
         "trackids": jnp.zeros(batch, jnp.int32),
     }
     return step, state, batch_d
+
+
+def build_eval(batch: int = 128, iters: int = 40):
+    """Batch-128 eval forward as ONE jitted scan of ``iters`` iterations
+    (mirrors bench.py's eval section). Returns (run, iters)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from mpreid_tpu.config import get_default_cfg
+    from mpreid_tpu.models import init_variables, make_model_uniprompt
+    from mpreid_tpu.ops.augment import eval_preprocess
+
+    cfg = get_default_cfg()
+    cfg.MODEL.NAME = "ViT-B-16"
+    cfg.INPUT.SIZE_TRAIN = [256, 128]
+    cfg.INPUT.SIZE_TEST = [256, 128]
+    model = make_model_uniprompt(cfg, num_class=1000, camera_num=14, view_num=1)
+    variables = init_variables(model, jax.random.PRNGKey(0), cfg)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randint(0, 255, (batch, 256, 128, 3), dtype=np.uint8))
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def eval_bench(params, batch_stats, images_u8, n):
+        def body(carry, _):
+            x = eval_preprocess(
+                images_u8 + carry,
+                mean=tuple(cfg.INPUT.PIXEL_MEAN),
+                std=tuple(cfg.INPUT.PIXEL_STD),
+            )
+            f = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+            s = jnp.sum(f.astype(jnp.float32))
+            return (s > 1e30).astype(jnp.uint8), s
+
+        carry, sums = jax.lax.scan(body, jnp.zeros((), jnp.uint8), None, length=n)
+        return jnp.sum(sums)
+
+    def run():
+        return float(eval_bench(params, batch_stats, images, iters))
+
+    return run, iters
 
 
 def parse_xplane(out_dir):
@@ -104,24 +155,33 @@ def parse_xplane(out_dir):
 def main():
     import jax
 
-    args = [a for a in sys.argv[1:] if a != "--parse-only"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     out_dir = args[0] if args else "/tmp/stage2_profile"
+    n_steps = 5
     if "--parse-only" not in sys.argv:
-        step, state, batch_d = build_step()
-        key = jax.random.PRNGKey(0)
-        state, m = step(state, batch_d, 5e-6, key)
-        _ = float(m["loss"])  # compile + warm
-        for _ in range(3):
+        if "--eval" in sys.argv:
+            run, n_steps = build_eval()
+            run()  # compile + warm
+            run()
+            with jax.profiler.trace(out_dir):
+                run()
+        else:
+            step, state, batch_d = build_step()
+            key = jax.random.PRNGKey(0)
             state, m = step(state, batch_d, 5e-6, key)
-        _ = float(m["loss"])
-
-        with jax.profiler.trace(out_dir):
-            for _ in range(5):
+            _ = float(m["loss"])  # compile + warm
+            for _ in range(3):
                 state, m = step(state, batch_d, 5e-6, key)
             _ = float(m["loss"])
 
+            with jax.profiler.trace(out_dir):
+                for _ in range(5):
+                    state, m = step(state, batch_d, 5e-6, key)
+                _ = float(m["loss"])
+    elif "--eval" in sys.argv:
+        n_steps = 40
+
     by_cat, cat_flops, cat_bytes, by_name, total = parse_xplane(out_dir)
-    n_steps = 5
     print(f"total device time: {total*1e3:.2f} ms over {n_steps} steps "
           f"({total/n_steps*1e3:.2f} ms/step)")
     print("\nby hlo_category (ms/step | achieved TF/s | GB/s):")
