@@ -162,62 +162,39 @@ def main():
     def _r(x, n=1):
         return round(x, n) if x is not None else None
 
-    from mpreid_tpu.config import get_default_cfg
-    from mpreid_tpu.engine.steps import make_eval_step, make_stage1_step
+    from mpreid_tpu.engine.steps import make_stage1_step
     from mpreid_tpu.engine.train_state import initial_state
-    from mpreid_tpu.models import init_variables, make_model_uniprompt
-    from mpreid_tpu.solver import make_optimizer
-
-    cfg = get_default_cfg()
-    cfg.MODEL.NAME = "ViT-B-16"
-    cfg.INPUT.SIZE_TRAIN = [256, 128]
-    cfg.INPUT.SIZE_TEST = [256, 128]
-    cfg.SOLVER.STAGE1A.IMS_PER_BATCH = 64
+    from mpreid_tpu.utils import benchkit
 
     num_classes = 1000
     batch = 64
     embed_dim = 512
 
-    model = make_model_uniprompt(cfg, num_class=num_classes, camera_num=14, view_num=1)
-    variables = init_variables(model, jax.random.PRNGKey(0), cfg)
-
-    # ---- stage-1a prompt-training throughput ----
-    # Uses the production epoch path: the whole window runs as ONE compiled
-    # scan over the device-resident feature bank (engine.steps.make_stage1_epoch),
-    # exactly how do_train_stage1 executes an epoch.
-    from mpreid_tpu.engine.steps import make_stage1_epoch
-
-    optimizer = make_optimizer(cfg.SOLVER.STAGE1A, variables["params"], stage="stage1a")
-    epoch_fn = make_stage1_epoch(model, cfg, optimizer, stage="1a")
+    # All measured programs come from mpreid_tpu.utils.benchkit — the single
+    # source of truth shared with the tools/ A/B scripts and the profiler,
+    # so every recorded number is a measurement of the identical graph.
+    cfg, model, variables = benchkit.uniprompt_env(num_classes=num_classes)
+    cfg.SOLVER.STAGE1A.IMS_PER_BATCH = 64
     # steps donate their input state — build each benchmark state from a copy
     fresh = lambda: jax.tree_util.tree_map(jnp.array, variables)
-    state = initial_state(fresh(), optimizer)
-
-    iters = 50  # the reference's measured window is 50 iters
     rng = np.random.RandomState(0)
-    bank = jnp.asarray(rng.randn(iters * batch, embed_dim).astype(np.float32))
-    bank_labels = jnp.asarray(
-        rng.randint(0, num_classes, iters * batch).astype(np.int32)
+
+    # ---- stage-1a prompt-training throughput ----
+    # Production epoch path: the whole window runs as ONE compiled scan over
+    # the device-resident feature bank (engine.steps.make_stage1_epoch),
+    # exactly how do_train_stage1 executes an epoch. 50-iter window = the
+    # reference's measured window. Two timed windows, best-of (remote-tunnel
+    # latency varies run to run); results fetched — block_until_ready on a
+    # scalar does not synchronize under the remote runtime.
+    iters = 50
+    h1a = benchkit.stage1_harness(
+        cfg, model, variables, stage="1a", iters=iters, batch=batch,
+        num_classes=num_classes, embed_dim=embed_dim,
     )
-    bank_views = jnp.zeros(iters * batch, jnp.int32)
-    perm = jnp.arange(iters * batch).reshape(iters, batch)
-
-    # warmup / compile. NOTE: under the remote TPU runtime block_until_ready
-    # on a scalar does not reliably synchronize — fetch values instead.
-    # epoch_fn donates its input state; thread it through.
-    state, losses = epoch_fn(state, bank, bank_labels, bank_views, perm, 3.5e-4)
-    _ = float(jnp.sum(losses))
-
-    # two timed windows, best-of (remote-tunnel latency varies run to run)
-    dts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        state, losses = epoch_fn(state, bank, bank_labels, bank_views, perm, 3.5e-4)
-        _ = float(jnp.sum(losses))
-        _ = float(jnp.sum(jax.tree_util.tree_leaves(state.params)[0]))
-        dts.append(time.perf_counter() - t0)
-    dt = min(dts)
+    dt = benchkit.best_of(benchkit.epoch_window(h1a), windows=2)
     img_per_sec = iters * batch / dt
+    state = h1a["state"]  # post-training state: params reused by eval below
+    optimizer, bank, bank_labels = h1a["opt"], h1a["bank"], h1a["labels"]
 
     # ---- stage-1a per-iter dispatch throughput ----
     # Same workload, but one host dispatch per optimizer step instead of the
@@ -246,81 +223,34 @@ def main():
     del state1i  # free HBM (params + Adam moments ≈ 1.2 GB per TrainState)
 
     # ---- gallery feature extraction throughput (eval forward, bf16) ----
-    # The whole timed loop runs inside ONE jitted lax.scan with a data
-    # dependency between iterations — immune to host dispatch latency,
-    # request caching, or overlap in the remote runtime.
-    from mpreid_tpu.ops.augment import eval_preprocess
-
-    # Eval batch 128: throughput metric, and the larger batch utilizes the
-    # MXU better (+2.4% vs 64, measured); 40 iters amortize the ~20 ms
-    # tunnel fetch to <0.3% of the window.
+    # ONE jitted lax.scan per window with a data dependency between
+    # iterations — immune to host dispatch latency, request caching, or
+    # overlap in the remote runtime (benchkit.make_eval_scan). Batch 128 /
+    # 40 iters: the measured v5e optimum; the window amortizes the ~20 ms
+    # tunnel fetch to <0.3%.
     eval_iters = 40
     eval_batch = 128
-    images = jnp.asarray(
-        rng.randint(0, 255, (eval_batch, 256, 128, 3), dtype=np.uint8)
+    eval_run = benchkit.make_eval_scan(
+        cfg, model, state.params, state.batch_stats,
+        batch=eval_batch, iters=eval_iters,
     )
-
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def eval_bench(params, batch_stats, images_u8, iters):
-        def body(carry, _):
-            x = eval_preprocess(
-                images_u8 + carry,
-                mean=tuple(cfg.INPUT.PIXEL_MEAN), std=tuple(cfg.INPUT.PIXEL_STD),
-            )
-            f = model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False
-            )
-            # depend on EVERY output element so XLA cannot slice the batch away
-            s = jnp.sum(f.astype(jnp.float32))
-            return (s > 1e30).astype(jnp.uint8), s
-        carry, sums = jax.lax.scan(body, jnp.zeros((), jnp.uint8), None, length=iters)
-        return jnp.sum(sums)
-
-    _ = float(eval_bench(state.params, state.batch_stats, images, eval_iters))
-    eval_dts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _ = float(eval_bench(state.params, state.batch_stats, images, eval_iters))
-        eval_dts.append(time.perf_counter() - t0)
-    eval_dt = min(eval_dts)
+    eval_dt = benchkit.best_of(benchkit.timed(eval_run), windows=2)
     feats_per_sec = eval_iters * eval_batch / eval_dt
 
     # ---- stage-2 fine-tune throughput (full ViT fwd+bwd + losses + Adam) ----
     from mpreid_tpu.engine.steps import make_train_step
-    from mpreid_tpu.losses import make_loss
+    from mpreid_tpu.solver import make_optimizer
 
-    cfg.DATALOADER.SAMPLER = "softmax_triplet"
-    cfg.MODEL.ID_LOSS_WEIGHT = 0.25
-    loss_fn, _unused = make_loss(cfg, num_classes)
-    opt2 = make_optimizer(cfg.SOLVER.STAGE2, variables["params"], stage="stage2a")
-    text_features = jnp.asarray(rng.randn(num_classes, embed_dim).astype(np.float32))
-    step2 = make_train_step(
-        model, cfg, loss_fn, opt2, uniprompt=True, text_features=text_features
-    )
-    state2 = initial_state(fresh(), opt2)
-    train_batch = {
-        "images": jnp.asarray(rng.randint(0, 255, (batch, 256, 128, 3), dtype=np.uint8)),
-        "pids": jnp.asarray((np.arange(batch) // 4 % num_classes).astype(np.int32)),
-        "camids": jnp.zeros(batch, jnp.int32),
-        "trackids": jnp.zeros(batch, jnp.int32),
-    }
-    key = jax.random.PRNGKey(0)
-    state2, m2 = step2(state2, train_batch, 5e-6, key)
-    _ = float(m2["loss"])
     s2_iters = 20
-    s2_dts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _i in range(s2_iters):
-            state2, m2 = step2(state2, train_batch, 5e-6, key)
-        _ = float(m2["loss"])
-        _ = float(jnp.sum(jax.tree_util.tree_leaves(state2.params)[0]))
-        s2_dts.append(time.perf_counter() - t0)
-    s2_dt = min(s2_dts)
+    h2 = benchkit.stage2_harness(
+        cfg, model, variables, num_classes=num_classes, batch=batch,
+        embed_dim=embed_dim,
+    )
+    loss_fn, opt2, text_features = h2["loss_fn"], h2["opt"], h2["text_features"]
+    train_batch, key = h2["batch"], h2["key"]
+    s2_dt = benchkit.best_of(benchkit.step_window(h2, iters=s2_iters), windows=2)
     stage2_periter_img_per_sec = s2_iters * batch / s2_dt
-    del state2, m2  # free HBM before the epoch-scan state
+    h2["state"] = None  # free HBM before the epoch-scan state
 
     # Production stage-2 path on this host (TPU.DEVICE_DATASET, see
     # CLAUDE.md): the whole epoch is ONE compiled scan over device-resident
@@ -362,27 +292,12 @@ def main():
     # Identical loop shape to 1a but training the modality/platform contexts
     # with real view labels (ref train_uniprompt.py:102-122).
     def _sec_stage1b():
-        opt1b = make_optimizer(cfg.SOLVER.STAGE1B, variables["params"],
-                               stage="stage1b")
-        epoch1b = make_stage1_epoch(model, cfg, opt1b, stage="1b")
-        state1b = initial_state(fresh(), opt1b)
-        views_bank = jnp.asarray(
-            rng.randint(0, 14, iters * batch).astype(np.int32)
+        h1b = benchkit.stage1_harness(
+            cfg, model, variables, stage="1b", iters=iters, batch=batch,
+            num_classes=num_classes, embed_dim=embed_dim, random_views=True,
         )
-        state1b, losses1b = epoch1b(
-            state1b, bank, bank_labels, views_bank, perm, 3.5e-4
-        )
-        _ = float(jnp.sum(losses1b))  # compile
-        s1b_dts = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            state1b, losses1b = epoch1b(
-                state1b, bank, bank_labels, views_bank, perm, 3.5e-4
-            )
-            _ = float(jnp.sum(losses1b))
-            _ = float(jnp.sum(jax.tree_util.tree_leaves(state1b.params)[0]))
-            s1b_dts.append(time.perf_counter() - t0)
-        return iters * batch / min(s1b_dts)
+        dt1b = benchkit.best_of(benchkit.epoch_window(h1b), windows=2)
+        return iters * batch / dt1b
 
     stage1b_img_per_sec = _guard("stage1b", _sec_stage1b)
 
@@ -394,6 +309,10 @@ def main():
     from mpreid_tpu.models import switch_to_moe
 
     def _sec_stage2b():
+        moe_saved = {
+            k: getattr(cfg.MODEL.MOE, k)
+            for k in ("ENABLED", "NUM_EXPERTS", "TOP_K", "MOE_LAYERS")
+        }
         cfg.MODEL.MOE.ENABLED = True
         cfg.MODEL.MOE.NUM_EXPERTS = 4
         cfg.MODEL.MOE.TOP_K = 2
@@ -406,81 +325,40 @@ def main():
                 moe_model, cfg, loss_fn, opt2b, uniprompt=True,
                 text_features=text_features,
             )
-            state2b = initial_state(
-                jax.tree_util.tree_map(jnp.array, moe_vars), opt2b
+            h2b = {
+                "step": step2b,
+                "state": initial_state(
+                    jax.tree_util.tree_map(jnp.array, moe_vars), opt2b
+                ),
+                "batch": train_batch, "key": key,
+            }
+            dt2b = benchkit.best_of(
+                benchkit.step_window(h2b, iters=s2_iters), windows=2
             )
-            state2b, m2b = step2b(state2b, train_batch, 5e-6, key)
-            _ = float(m2b["loss"])
-            s2b_dts = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                for _i in range(s2_iters):
-                    state2b, m2b = step2b(state2b, train_batch, 5e-6, key)
-                _ = float(m2b["loss"])
-                _ = float(jnp.sum(jax.tree_util.tree_leaves(state2b.params)[0]))
-                s2b_dts.append(time.perf_counter() - t0)
-            return s2_iters * batch / min(s2b_dts)
+            return s2_iters * batch / dt2b
         finally:
-            cfg.MODEL.MOE.ENABLED = False
+            for k, v in moe_saved.items():
+                setattr(cfg.MODEL.MOE, k, v)
 
     stage2b_img_per_sec = _guard("stage2b_moe", _sec_stage2b)
 
     # ---- RN50 path: eval + train throughput (ref configs/person/cnn_base.yml) ----
-    from mpreid_tpu.models import make_model
-
     def _sec_rn50():
-        cfg_rn = get_default_cfg()
-        cfg_rn.MODEL.NAME = "RN50"
-        cfg_rn.INPUT.SIZE_TRAIN = [256, 128]
-        cfg_rn.INPUT.SIZE_TEST = [256, 128]
-        cfg_rn.DATALOADER.SAMPLER = "softmax_triplet"
-        rn_model = make_model(cfg_rn, num_class=num_classes, camera_num=14,
-                              view_num=1)
-        rn_vars = init_variables(rn_model, jax.random.PRNGKey(1), cfg_rn)
+        cfg_rn, rn_model, rn_vars = benchkit.rn50_env(num_classes=num_classes)
+        rn_eval = benchkit.make_eval_scan(
+            cfg_rn, rn_model, rn_vars["params"], rn_vars["batch_stats"],
+            batch=eval_batch, iters=eval_iters,
+        )
+        rn_eval_dt = benchkit.best_of(benchkit.timed(rn_eval), windows=2)
+        feats = eval_iters * eval_batch / rn_eval_dt
 
-        @functools.partial(jax.jit, static_argnames=("iters",))
-        def rn_eval_bench(params, batch_stats, images_u8, iters):
-            def body(carry, _):
-                x = eval_preprocess(
-                    images_u8 + carry,
-                    mean=tuple(cfg_rn.INPUT.PIXEL_MEAN),
-                    std=tuple(cfg_rn.INPUT.PIXEL_STD),
-                )
-                f = rn_model.apply(
-                    {"params": params, "batch_stats": batch_stats}, x, train=False
-                )
-                s = jnp.sum(f.astype(jnp.float32))
-                return (s > 1e30).astype(jnp.uint8), s
-            carry, sums = jax.lax.scan(
-                body, jnp.zeros((), jnp.uint8), None, length=iters
-            )
-            return jnp.sum(sums)
-
-        _ = float(rn_eval_bench(rn_vars["params"], rn_vars["batch_stats"],
-                                images, eval_iters))
-        rn_eval_dts = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _ = float(rn_eval_bench(rn_vars["params"], rn_vars["batch_stats"],
-                                    images, eval_iters))
-            rn_eval_dts.append(time.perf_counter() - t0)
-        feats = eval_iters * eval_batch / min(rn_eval_dts)
-
-        rn_loss_fn, _unused2 = make_loss(cfg_rn, num_classes)
-        rn_opt = make_optimizer(cfg_rn.SOLVER, rn_vars["params"], stage="baseline")
-        rn_step = make_train_step(rn_model, cfg_rn, rn_loss_fn, rn_opt)
-        rn_state = initial_state(jax.tree_util.tree_map(jnp.array, rn_vars), rn_opt)
-        rn_state, mrn = rn_step(rn_state, train_batch, 5e-6, key)
-        _ = float(mrn["loss"])
-        rn_dts = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            for _i in range(s2_iters):
-                rn_state, mrn = rn_step(rn_state, train_batch, 5e-6, key)
-            _ = float(mrn["loss"])
-            _ = float(jnp.sum(jax.tree_util.tree_leaves(rn_state.params)[0]))
-            rn_dts.append(time.perf_counter() - t0)
-        train_ips = s2_iters * batch / min(rn_dts)
+        hrn = benchkit.baseline_harness(
+            cfg_rn, rn_model, rn_vars, num_classes=num_classes, batch=batch
+        )
+        rn_dt = benchkit.best_of(
+            benchkit.step_window(hrn, iters=s2_iters), windows=2
+        )
+        train_ips = s2_iters * batch / rn_dt
         flops = rn50_flops_per_image(
             rn_model.clip_config, rn_model.in_planes, num_classes
         )

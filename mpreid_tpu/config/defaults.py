@@ -87,9 +87,11 @@ def get_default_cfg() -> CN:
     # Shrink the CLIP towers to a 2-layer/64-wide debug model (CLI smoke runs)
     _C.MODEL.DEBUG_TINY = False
     # Attention QKV param layout per tower: "" → the measured-fastest
-    # defaults (ops/attention.py: vision "packed", text "hm"); explicit
-    # values: "packed" | "hm" (in-graph column permute) | "hm_native"
-    # (params STORED head-major; converters permute on torch import/export).
+    # defaults (ops/attention.py: "hm_native" for both towers); explicit
+    # values: "packed" | "hm" (in-graph column permute, torch-packed
+    # storage) | "hm_native" (params STORED head-major; converters permute
+    # on torch import/export). Checkpoints record the storage layout and
+    # loads verify it (utils/checkpoint.py::check_attn_storage).
     _C.MODEL.ATTN_LAYOUT_VISION = ""
     _C.MODEL.ATTN_LAYOUT_TEXT = ""
 

@@ -213,7 +213,7 @@ def do_train(
     if getattr(cfg.SOLVER, "RESUME", ""):
         from mpreid_tpu.utils.checkpoint import load_checkpoint, unnest_opt_state
 
-        restored = load_checkpoint(cfg.SOLVER.RESUME)
+        restored = load_checkpoint(cfg.SOLVER.RESUME, cfg)
         state = TrainState(
             params=restored["params"],
             batch_stats=restored.get("batch_stats", {}),
@@ -268,7 +268,8 @@ def do_train(
             history.append({"epoch": epoch, "loss": loss_meter.avg, "acc": acc_meter.avg})
             if cfg.OUTPUT_DIR and epoch % checkpoint_period == 0:
                 save_checkpoint(
-                    os.path.join(cfg.OUTPUT_DIR, f"{cfg.MODEL.NAME}_{epoch}"), state, epoch
+                    os.path.join(cfg.OUTPUT_DIR, f"{cfg.MODEL.NAME}_{epoch}"), state, epoch,
+                    cfg=cfg,
                 )
             if epoch % eval_period == 0 and val_loader is not None:
                 run_validation(cfg, model, state.params, state.batch_stats,
@@ -331,7 +332,8 @@ def do_train(
 
         if cfg.OUTPUT_DIR and epoch % checkpoint_period == 0:
             save_checkpoint(
-                os.path.join(cfg.OUTPUT_DIR, f"{cfg.MODEL.NAME}_{epoch}"), state, epoch
+                os.path.join(cfg.OUTPUT_DIR, f"{cfg.MODEL.NAME}_{epoch}"), state, epoch,
+                cfg=cfg,
             )
         if epoch % eval_period == 0 and val_loader is not None:
             run_validation(cfg, model, state.params, state.batch_stats,

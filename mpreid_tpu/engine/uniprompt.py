@@ -128,7 +128,7 @@ def do_train_stage1(
         if cfg.OUTPUT_DIR and epoch % stage_cfg.CHECKPOINT_PERIOD == 0:
             save_checkpoint(
                 os.path.join(cfg.OUTPUT_DIR, f"{cfg.MODEL.NAME}_stage{stage}_{epoch}"),
-                state, epoch,
+                state, epoch, cfg=cfg,
             )
 
     logger.info(
@@ -256,7 +256,7 @@ def do_train_stage2(
             history.append({"epoch": epoch, "loss": loss_meter.avg, "acc": acc_meter.avg})
             out_dir = cfg.OUTPUT_DIR and os.path.join(cfg.OUTPUT_DIR, cfg.DATASETS.EXP_SETTING)
             if out_dir and epoch % checkpoint_period == 0:
-                save_checkpoint(os.path.join(out_dir, f"{cfg.MODEL.NAME}_{epoch}"), state, epoch)
+                save_checkpoint(os.path.join(out_dir, f"{cfg.MODEL.NAME}_{epoch}"), state, epoch, cfg=cfg)
             if epoch % eval_period == 0 and val_loader is not None:
                 run_validation(cfg, model, state.params, state.batch_stats,
                                val_loader, num_query, logger, epoch)
@@ -306,7 +306,7 @@ def do_train_stage2(
 
         out_dir = cfg.OUTPUT_DIR and os.path.join(cfg.OUTPUT_DIR, cfg.DATASETS.EXP_SETTING)
         if out_dir and epoch % checkpoint_period == 0:
-            save_checkpoint(os.path.join(out_dir, f"{cfg.MODEL.NAME}_{epoch}"), state, epoch)
+            save_checkpoint(os.path.join(out_dir, f"{cfg.MODEL.NAME}_{epoch}"), state, epoch, cfg=cfg)
         if epoch % eval_period == 0 and val_loader is not None:
             run_validation(cfg, model, state.params, state.batch_stats,
                            val_loader, num_query, logger, epoch)

@@ -87,11 +87,12 @@ class MultiHeadAttention(nn.Module):
         # scores/softmax/values resident in VMEM — no head transposes or fp32
         # score tensors in HBM), identical-math XLA einsum elsewhere. fp32
         # logits + softmax for numerical parity with torch's fp32 softmax.
-        # The default "hm" layout permutes the in_proj columns statically
-        # (params stay in torch packing for checkpoint compatibility) so the
-        # projection emits per-head-contiguous [q_h|k_h|v_h] slices and the
-        # kernel grid tiles (batch × head-group) — bitwise-identical math,
-        # far smaller VMEM blocks than the whole-row "packed" kernel.
+        # The default "hm_native" layout STORES the in_proj params head-major
+        # (converters permute at torch import/export) so the projection emits
+        # per-head-contiguous [q_h|k_h|v_h] slices and the kernel grid tiles
+        # (batch × head-group) — bitwise-identical math, far smaller VMEM
+        # blocks than the whole-row "packed" kernel, no in-graph permute.
+        # "hm" keeps torch-packed storage and permutes in-graph instead.
         from mpreid_tpu.ops import attention as attn
 
         layout = self.layout if self.layout is not None else attn.MODEL_LAYOUT

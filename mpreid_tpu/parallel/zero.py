@@ -86,7 +86,8 @@ class ZeroOptimizer(Optimizer):
 
         def zeros(k, p):
             if k not in self.zero_keys:
-                return jnp.zeros(p.shape, self.moment_dtype)
+                # inherit the parameter's own (TP/EP) sharding
+                return jnp.zeros_like(p, dtype=self.moment_dtype)
             n = int(np.prod(p.shape) or 1)
             n += (-n) % self._nshard
             return jax.device_put(jnp.zeros((n,), self.moment_dtype), shard)
@@ -127,7 +128,7 @@ def zero_sharded(base: Optimizer, mesh, axis: str = "data") -> ZeroOptimizer:
     """
     from mpreid_tpu.parallel.mesh import param_spec
 
-    if int(mesh.shape[axis]) < 1:
+    if axis not in mesh.shape:
         raise ValueError(f"mesh has no axis {axis!r}")
     z = ZeroOptimizer.__new__(ZeroOptimizer)
     z.__dict__.update(base.__dict__)

@@ -204,7 +204,10 @@ class Optimizer:
         train, _ = self.partition(params)
 
         def zeros(p):
-            return jnp.zeros(p.shape, self.moment_dtype)
+            # zeros_like (not zeros) so the moment inherits the parameter's
+            # sharding — TP/EP-sharded leaves must not materialize fully
+            # replicated moments on one device at init.
+            return jnp.zeros_like(p, dtype=self.moment_dtype)
 
         return OptState(
             step=jnp.zeros((), jnp.int32),

@@ -22,6 +22,91 @@ def _to_numpy(tree: Any) -> Any:
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+# ---------------------------------------------------------------------------
+# attention-parameter storage layout tagging
+#
+# MultiHeadAttention's in_proj_kernel/bias are stored either torch-packed
+# ([q|k|v] columns; layouts "packed"/"hm") or head-major (per-head
+# [q_h|k_h|v_h]; layout "hm_native", the tuned default since round 3 —
+# ops/attention.py). The raw arrays carry no layout information, so an
+# untagged checkpoint written under one default and resumed under another
+# would be silently reinterpreted — scrambled attention, no error. Saves
+# therefore record the storage per tower and loads verify it against the
+# active config (MODEL.ATTN_LAYOUT_{VISION,TEXT}).
+# ---------------------------------------------------------------------------
+
+_STORAGE_KEY = "attn_head_major"  # int8[2] = [visual, text]; 1 = head-major
+
+
+def attn_storage_meta(cfg: Any = None) -> dict:
+    """{'visual': 'packed'|'head_major', 'text': ...} for the active config
+    (or the module defaults when ``cfg`` is None)."""
+    from mpreid_tpu.ops.attention import resolve_layout
+
+    v = getattr(cfg.MODEL, "ATTN_LAYOUT_VISION", "") if cfg is not None else ""
+    t = getattr(cfg.MODEL, "ATTN_LAYOUT_TEXT", "") if cfg is not None else ""
+    return {
+        "visual": "head_major" if resolve_layout(v or None, "vision") == "hm_native" else "packed",
+        "text": "head_major" if resolve_layout(t or None, "text") == "hm_native" else "packed",
+    }
+
+
+def _storage_tag(cfg: Any = None) -> np.ndarray:
+    meta = attn_storage_meta(cfg)
+    return np.asarray(
+        [meta["visual"] == "head_major", meta["text"] == "head_major"], np.int8
+    )
+
+
+def _towers_with_in_proj(params: Any) -> dict:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    towers = {"visual": False, "text": False}
+    for path, _ in flat:
+        keys = [str(getattr(k, "key", k)) for k in path]
+        if keys and keys[-1] == "in_proj_kernel":
+            towers["text" if keys[0] == "text" else "visual"] = True
+    return towers
+
+
+def check_attn_storage(restored: dict, cfg: Any = None, source: str = "checkpoint") -> None:
+    """Verify (and strip) the attention-storage tag of a restored tree.
+
+    Untagged checkpoints predate head-major storage and are assumed
+    torch-packed. A mismatch raises instead of silently scrambling
+    attention; the remedy is loading with the matching
+    ``MODEL.ATTN_LAYOUT_VISION/TEXT`` ('packed' keeps packed storage,
+    'hm_native' head-major)."""
+    tag = restored.pop(_STORAGE_KEY, None)
+    if tag is None:
+        stored = {"visual": "packed", "text": "packed"}
+    else:
+        arr = np.asarray(tag).astype(bool).ravel()
+        stored = {
+            "visual": "head_major" if arr[0] else "packed",
+            "text": "head_major" if arr[1] else "packed",
+        }
+    expect = attn_storage_meta(cfg)
+    towers = _towers_with_in_proj(restored.get("params", {}))
+    bad = [t for t, present in towers.items() if present and stored[t] != expect[t]]
+    if bad:
+        opts = {
+            "visual": "MODEL.ATTN_LAYOUT_VISION",
+            "text": "MODEL.ATTN_LAYOUT_TEXT",
+        }
+        detail = ", ".join(
+            f"{t}: stored {stored[t]!r} vs active {expect[t]!r}" for t in bad
+        )
+        remedy = " ".join(
+            f"{opts[t]} {'hm_native' if stored[t] == 'head_major' else 'packed'}"
+            for t in bad
+        )
+        raise ValueError(
+            f"Attention-parameter storage mismatch loading {source}: {detail}. "
+            f"The in_proj columns would be misinterpreted. Re-run with "
+            f"`{remedy}` to match the checkpoint (see ops/attention.py)."
+        )
+
+
 def _nest_opt_state(opt_state) -> dict:
     # OptState.mu/nu are flat dicts keyed by PATH TUPLES; orbax round-trips
     # tuple keys as their string repr, which would break resume — nest them
@@ -47,7 +132,7 @@ def unnest_opt_state(nested: dict):
     )
 
 
-def save_checkpoint(path: str, state: Any, epoch: int) -> None:
+def save_checkpoint(path: str, state: Any, epoch: int, cfg: Any = None) -> None:
     """Save full train state (+epoch) to ``path`` (a directory)."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
@@ -56,6 +141,7 @@ def save_checkpoint(path: str, state: Any, epoch: int) -> None:
         "batch_stats": _to_numpy(state.batch_stats),
         "opt_state": _nest_opt_state(state.opt_state),
         "epoch": np.asarray(epoch),
+        _STORAGE_KEY: _storage_tag(cfg),
     }
     if state.centers is not None:
         payload["centers"] = np.asarray(state.centers)
@@ -76,7 +162,7 @@ def _device_put_tree(tree: Any) -> Any:
     return jax.tree_util.tree_map(jax.device_put, tree)
 
 
-def load_checkpoint(path: str) -> dict:
+def load_checkpoint(path: str, cfg: Any = None) -> dict:
     """Restore a full train-state checkpoint as device-resident arrays.
 
     NOTE: the returned arrays may be donated (consumed) by the jitted train
@@ -84,28 +170,31 @@ def load_checkpoint(path: str) -> dict:
     built from it.
     """
     ckptr = ocp.StandardCheckpointer()
-    return _device_put_tree(ckptr.restore(os.path.abspath(path)))
+    restored = ckptr.restore(os.path.abspath(path))
+    check_attn_storage(restored, cfg, source=path)
+    return _device_put_tree(restored)
 
 
-def save_weights(path: str, params: Any, batch_stats: Any = None) -> None:
+def save_weights(path: str, params: Any, batch_stats: Any = None,
+                 cfg: Any = None) -> None:
     """Weights-only save (the reference's torch.save(state_dict()) analogue)."""
     ckptr = ocp.StandardCheckpointer()
-    payload = {"params": _to_numpy(params)}
+    payload = {"params": _to_numpy(params), _STORAGE_KEY: _storage_tag(cfg)}
     if batch_stats:
         payload["batch_stats"] = _to_numpy(batch_stats)
     ckptr.save(os.path.abspath(path), payload, force=True)
     ckptr.wait_until_finished()
 
 
-def load_weights(path: str, variables: dict) -> dict:
+def load_weights(path: str, variables: dict, cfg: Any = None) -> dict:
     """Load weights into an existing variable tree (ref load_param:118-122).
 
     Arrays are matched by tree position; missing collections are kept from
     the input tree.
     """
-    restored = _device_put_tree(
-        ocp.StandardCheckpointer().restore(os.path.abspath(path))
-    )
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    check_attn_storage(restored, cfg, source=path)
+    restored = _device_put_tree(restored)
     out = dict(variables)
     out["params"] = restored["params"]
     if "batch_stats" in restored:

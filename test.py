@@ -63,7 +63,7 @@ def main():
 
             variables = load_param(cfg.TEST.WEIGHT, model, variables)
         else:
-            variables = load_weights(cfg.TEST.WEIGHT, variables)
+            variables = load_weights(cfg.TEST.WEIGHT, variables, cfg)
         logger.info(f"Loading pretrained model from {cfg.TEST.WEIGHT}")
 
     if cfg.DATASETS.NAMES == "VehicleID":

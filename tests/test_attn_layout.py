@@ -192,3 +192,63 @@ def test_vision_transformer_layout_thread():
     vm = vt_moe.init(jax.random.PRNGKey(0), x)
     out = vt_moe.apply(vm, x)
     assert all(bool(jnp.all(jnp.isfinite(t))) for t in out[:3])
+
+
+class TestCheckpointStorageTag:
+    """Checkpoints record the attention param storage layout; loads verify
+    it against the active config instead of silently reinterpreting packed
+    columns as head-major (round-3 review finding)."""
+
+    def _params(self):
+        z = jnp.zeros((8, 24), jnp.float32)
+        return {
+            "visual": {"resblocks_0": {"attn": {"in_proj_kernel": z,
+                                                "in_proj_bias": z[0]}}},
+            "text": {"resblocks_0": {"attn": {"in_proj_kernel": z,
+                                              "in_proj_bias": z[0]}}},
+        }
+
+    def _cfg(self, layout):
+        from mpreid_tpu.config import get_default_cfg
+
+        cfg = get_default_cfg()
+        cfg.MODEL.ATTN_LAYOUT_VISION = layout
+        cfg.MODEL.ATTN_LAYOUT_TEXT = layout
+        return cfg
+
+    def test_roundtrip_and_mismatch(self, tmp_path):
+        from mpreid_tpu.utils.checkpoint import load_weights, save_weights
+
+        params = self._params()
+        save_weights(str(tmp_path / "ck"), params, cfg=self._cfg("hm_native"))
+        # matching layout loads fine
+        out = load_weights(str(tmp_path / "ck"), {"params": params},
+                           cfg=self._cfg("hm_native"))
+        assert "params" in out
+        # mismatched layout is a hard error, not silent corruption
+        with pytest.raises(ValueError, match="storage mismatch"):
+            load_weights(str(tmp_path / "ck"), {"params": params},
+                         cfg=self._cfg("packed"))
+        # "hm" stores packed too — a packed-tagged checkpoint loads under it
+        save_weights(str(tmp_path / "ck2"), params, cfg=self._cfg("hm"))
+        load_weights(str(tmp_path / "ck2"), {"params": params},
+                     cfg=self._cfg("packed"))
+
+    def test_untagged_assumed_packed(self):
+        from mpreid_tpu.utils.checkpoint import check_attn_storage
+
+        # pre-tag checkpoints (no head-major storage existed) pass a packed
+        # expectation and fail a head-major one
+        check_attn_storage({"params": self._params()}, self._cfg("packed"))
+        with pytest.raises(ValueError, match="storage mismatch"):
+            check_attn_storage({"params": self._params()},
+                               self._cfg("hm_native"))
+
+    def test_no_attention_leaves_skips_check(self):
+        from mpreid_tpu.utils.checkpoint import check_attn_storage
+
+        # RN50-style trees (no in_proj leaves) are layout-agnostic
+        check_attn_storage(
+            {"params": {"layer1": {"kernel": jnp.zeros((3, 3))}}},
+            self._cfg("packed"),
+        )

@@ -192,3 +192,36 @@ def test_zero_checkpoint_resume(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(ref_t[k]), np.asarray(cont_t[k]), err_msg=str(k)
         )
+
+
+def test_moment_init_inherits_param_sharding():
+    """Optimizer.init / ZeroOptimizer.init must create moments with the
+    PARAMETER's sharding for non-ZeRO (TP/EP-sharded) leaves — zeros() that
+    drops the NamedSharding would materialize full-size replicated moments
+    on one device at init (round-3 review finding)."""
+    from jax.sharding import NamedSharding
+
+    cfg = get_default_cfg()
+    params = _params()
+    n = len(jax.devices())
+    mesh = make_mesh(data=max(n // 2, 1), model=min(2, n))
+    sharded = NamedSharding(mesh, P(None, "model"))
+    # model-shard the classifier kernel like TP does (11 doesn't divide by 2,
+    # so use a divisible kernel here)
+    params["classifier"]["kernel"] = jax.device_put(
+        jnp.zeros((3, 8), jnp.float32), sharded
+    )
+
+    base = Optimizer("Adam", params, cfg.SOLVER, stage="baseline")
+    state = base.init(params)
+    key = ("classifier", "kernel")
+    assert state.mu[key].sharding == sharded, state.mu[key].sharding
+    assert state.nu[key].sharding == sharded
+
+    zero = zero_sharded(base, mesh)
+    # the TP-sharded leaf is excluded from ZeRO (param_spec != P()) and must
+    # keep the parameter's own layout, as the class docstring promises
+    assert key not in zero.zero_keys
+    zstate = zero.init(params)
+    assert zstate.mu[key].sharding == sharded, zstate.mu[key].sharding
+    assert zstate.nu[key].sharding == sharded

@@ -91,7 +91,7 @@ def main():
     print("devices:", jax.devices(), flush=True)
     only = sys.argv[2] if len(sys.argv) > 2 else None
     variants = [(8, 2), (16, 2), (32, 2), (16, 4)]
-    if only in ("packed", "xla", "xla_hm"):
+    if only in ("packed", "hm", "xla", "xla_hm"):
         bench_case("vision B64 L129", 64, 129, 768, 12, False, iters,
                    which=(only,))
         bench_case("text   B64 L77 ", 64, 77, 512, 8, True, iters,

@@ -12,14 +12,8 @@ Prints img/s per config. Usage: python tools/bench_stages_ab.py [stage1|stage2|b
 """
 
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, ".")
-
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 
 from mpreid_tpu.ops import attention as attn  # noqa: E402
 
@@ -50,77 +44,26 @@ def patch_policy():
 
 
 def build():
-    from mpreid_tpu.config import get_default_cfg
-    from mpreid_tpu.models import init_variables, make_model_uniprompt
+    from mpreid_tpu.utils import benchkit
 
-    cfg = get_default_cfg()
-    cfg.MODEL.NAME = "ViT-B-16"
-    cfg.INPUT.SIZE_TRAIN = [256, 128]
-    cfg.INPUT.SIZE_TEST = [256, 128]
-    cfg.DATALOADER.SAMPLER = "softmax_triplet"
-    cfg.MODEL.ID_LOSS_WEIGHT = 0.25
-    model = make_model_uniprompt(cfg, num_class=1000, camera_num=14, view_num=1)
-    variables = init_variables(model, jax.random.PRNGKey(0), cfg)
-    return cfg, model, variables
+    return benchkit.uniprompt_env()
 
 
 def bench_stage1(cfg, model, variables):
-    from mpreid_tpu.engine.steps import make_stage1_epoch
-    from mpreid_tpu.engine.train_state import initial_state
-    from mpreid_tpu.solver import make_optimizer
+    from mpreid_tpu.utils import benchkit
 
-    batch, iters = 64, 50
-    opt = make_optimizer(cfg.SOLVER.STAGE1A, variables["params"], stage="stage1a")
-    epoch_fn = make_stage1_epoch(model, cfg, opt, stage="1a")
-    state = initial_state(jax.tree_util.tree_map(jnp.array, variables), opt)
-    rng = np.random.RandomState(0)
-    bank = jnp.asarray(rng.randn(iters * batch, 512).astype(np.float32))
-    labels = jnp.asarray(rng.randint(0, 1000, iters * batch).astype(np.int32))
-    views = jnp.zeros(iters * batch, jnp.int32)
-    perm = jnp.arange(iters * batch).reshape(iters, batch)
-    state, losses = epoch_fn(state, bank, labels, views, perm, 3.5e-4)
-    _ = float(jnp.sum(losses))
-    dts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        state, losses = epoch_fn(state, bank, labels, views, perm, 3.5e-4)
-        _ = float(jnp.sum(losses))
-        _ = float(jnp.sum(jax.tree_util.tree_leaves(state.params)[0]))
-        dts.append(time.perf_counter() - t0)
-    return iters * batch / min(dts)
+    h = benchkit.stage1_harness(cfg, model, variables)
+    dt = benchkit.best_of(benchkit.epoch_window(h), windows=3)
+    return h["iters"] * h["batch"] / dt
 
 
 def bench_stage2(cfg, model, variables):
-    from mpreid_tpu.engine.steps import make_train_step
-    from mpreid_tpu.engine.train_state import initial_state
-    from mpreid_tpu.losses import make_loss
-    from mpreid_tpu.solver import make_optimizer
+    from mpreid_tpu.utils import benchkit
 
-    batch, iters = 64, 20
-    rng = np.random.RandomState(0)
-    loss_fn, _ = make_loss(cfg, 1000)
-    opt = make_optimizer(cfg.SOLVER.STAGE2, variables["params"], stage="stage2a")
-    tf = jnp.asarray(rng.randn(1000, 512).astype(np.float32))
-    step = make_train_step(model, cfg, loss_fn, opt, uniprompt=True, text_features=tf)
-    state = initial_state(jax.tree_util.tree_map(jnp.array, variables), opt)
-    b = {
-        "images": jnp.asarray(rng.randint(0, 255, (batch, 256, 128, 3), dtype=np.uint8)),
-        "pids": jnp.asarray((np.arange(batch) // 4 % 1000).astype(np.int32)),
-        "camids": jnp.zeros(batch, jnp.int32),
-        "trackids": jnp.zeros(batch, jnp.int32),
-    }
-    key = jax.random.PRNGKey(0)
-    state, m = step(state, b, 5e-6, key)
-    _ = float(m["loss"])
-    dts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _i in range(iters):
-            state, m = step(state, b, 5e-6, key)
-        _ = float(m["loss"])
-        _ = float(jnp.sum(jax.tree_util.tree_leaves(state.params)[0]))
-        dts.append(time.perf_counter() - t0)
-    return iters * batch / min(dts)
+    h = benchkit.stage2_harness(cfg, model, variables)
+    iters = 20
+    dt = benchkit.best_of(benchkit.step_window(h, iters=iters), windows=3)
+    return iters * h["batch"]["images"].shape[0] / dt
 
 
 def main():

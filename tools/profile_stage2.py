@@ -25,83 +25,25 @@ sys.path.insert(0, ".")
 
 
 def build_step():
-    import jax
-    import jax.numpy as jnp
+    """The canonical stage-2a train step (benchkit — the same program
+    bench.py times). Returns (step, state, batch_d)."""
+    from mpreid_tpu.utils import benchkit
 
-    from mpreid_tpu.config import get_default_cfg
-    from mpreid_tpu.engine.steps import make_train_step
-    from mpreid_tpu.engine.train_state import initial_state
-    from mpreid_tpu.losses import make_loss
-    from mpreid_tpu.models import init_variables, make_model_uniprompt
-    from mpreid_tpu.solver import make_optimizer
-
-    cfg = get_default_cfg()
-    cfg.MODEL.NAME = "ViT-B-16"
-    cfg.INPUT.SIZE_TRAIN = [256, 128]
-    cfg.INPUT.SIZE_TEST = [256, 128]
-    cfg.DATALOADER.SAMPLER = "softmax_triplet"
-    cfg.MODEL.ID_LOSS_WEIGHT = 0.25
-    num_classes, batch, embed_dim = 1000, 64, 512
-    model = make_model_uniprompt(cfg, num_class=num_classes, camera_num=14, view_num=1)
-    variables = init_variables(model, jax.random.PRNGKey(0), cfg)
-    loss_fn, _ = make_loss(cfg, num_classes)
-    opt = make_optimizer(cfg.SOLVER.STAGE2, variables["params"], stage="stage2a")
-    rng = np.random.RandomState(0)
-    text_features = jnp.asarray(rng.randn(num_classes, embed_dim).astype(np.float32))
-    step = make_train_step(model, cfg, loss_fn, opt, uniprompt=True,
-                           text_features=text_features)
-    state = initial_state(variables, opt)
-    batch_d = {
-        "images": jnp.asarray(rng.randint(0, 255, (batch, 256, 128, 3), dtype=np.uint8)),
-        "pids": jnp.asarray((np.arange(batch) // 4 % num_classes).astype(np.int32)),
-        "camids": jnp.zeros(batch, jnp.int32),
-        "trackids": jnp.zeros(batch, jnp.int32),
-    }
-    return step, state, batch_d
+    cfg, model, variables = benchkit.uniprompt_env()
+    h = benchkit.stage2_harness(cfg, model, variables)
+    return h["step"], h["state"], h["batch"]
 
 
 def build_eval(batch: int = 128, iters: int = 40):
     """Batch-128 eval forward as ONE jitted scan of ``iters`` iterations
-    (mirrors bench.py's eval section). Returns (run, iters)."""
-    import functools
+    (benchkit — bench.py's eval section). Returns (run, iters)."""
+    from mpreid_tpu.utils import benchkit
 
-    import jax
-    import jax.numpy as jnp
-
-    from mpreid_tpu.config import get_default_cfg
-    from mpreid_tpu.models import init_variables, make_model_uniprompt
-    from mpreid_tpu.ops.augment import eval_preprocess
-
-    cfg = get_default_cfg()
-    cfg.MODEL.NAME = "ViT-B-16"
-    cfg.INPUT.SIZE_TRAIN = [256, 128]
-    cfg.INPUT.SIZE_TEST = [256, 128]
-    model = make_model_uniprompt(cfg, num_class=1000, camera_num=14, view_num=1)
-    variables = init_variables(model, jax.random.PRNGKey(0), cfg)
-    params, batch_stats = variables["params"], variables.get("batch_stats", {})
-    rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.randint(0, 255, (batch, 256, 128, 3), dtype=np.uint8))
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def eval_bench(params, batch_stats, images_u8, n):
-        def body(carry, _):
-            x = eval_preprocess(
-                images_u8 + carry,
-                mean=tuple(cfg.INPUT.PIXEL_MEAN),
-                std=tuple(cfg.INPUT.PIXEL_STD),
-            )
-            f = model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False
-            )
-            s = jnp.sum(f.astype(jnp.float32))
-            return (s > 1e30).astype(jnp.uint8), s
-
-        carry, sums = jax.lax.scan(body, jnp.zeros((), jnp.uint8), None, length=n)
-        return jnp.sum(sums)
-
-    def run():
-        return float(eval_bench(params, batch_stats, images, iters))
-
+    cfg, model, variables = benchkit.uniprompt_env()
+    run = benchkit.make_eval_scan(
+        cfg, model, variables["params"], variables.get("batch_stats", {}),
+        batch=batch, iters=iters,
+    )
     return run, iters
 
 
