@@ -288,6 +288,24 @@ def main():
     stage2_img_per_sec = _guard("stage2_epoch_scan", _sec_stage2_epoch,
                                 stage2_periter_img_per_sec)
 
+    # Stage-2 at batch 128: the Adam update's HBM traffic (~4.7 ms for the
+    # 87M trainable params, batch-independent) amortizes over 2× the images
+    # and the larger matmuls tile the MXU better. Batch 64 above is the
+    # reference's config (the parity point); this is the tuned production
+    # batch for throughput-bound runs.
+    def _sec_stage2_b128():
+        h2l = benchkit.stage2_harness(
+            cfg, model, variables, num_classes=num_classes, batch=128,
+            embed_dim=embed_dim,
+        )
+        dtl = benchkit.best_of(
+            benchkit.step_window(h2l, iters=s2_iters), windows=2
+        )
+        h2l["state"] = None  # free HBM
+        return s2_iters * 128 / dtl
+
+    stage2_b128_img_per_sec = _guard("stage2_b128", _sec_stage2_b128)
+
     # ---- stage-1b prompt-training throughput (view-conditioned contexts) ----
     # Identical loop shape to 1a but training the modality/platform contexts
     # with real view labels (ref train_uniprompt.py:102-122).
@@ -402,6 +420,10 @@ def main():
         3.0 * fwd_flops * stage2_img_per_sec / 1e12
         if stage2_img_per_sec is not None else None
     )
+    stage2_b128_achieved_tflops = (
+        3.0 * fwd_flops * stage2_b128_img_per_sec / 1e12
+        if stage2_b128_img_per_sec is not None else None
+    )
     eval_achieved_tflops = fwd_flops * feats_per_sec / 1e12
     rn50_eval_tflops = (rn_flops * rn50_feats_per_sec / 1e12
                         if rn_flops is not None else None)
@@ -425,6 +447,8 @@ def main():
         "gallery_feats_per_sec_per_chip": _r(feats_per_sec),
         "stage2_train_img_per_sec": _r(stage2_img_per_sec),
         "stage2_img_per_sec_per_step_dispatch": _r(stage2_periter_img_per_sec),
+        "stage2_b128_img_per_sec": _r(stage2_b128_img_per_sec),
+        "mfu_stage2_b128_vs_measured_matmul": _mfu(stage2_b128_achieved_tflops),
         "stage1b_img_per_sec": _r(stage1b_img_per_sec),
         "stage2b_moe_img_per_sec": _r(stage2b_img_per_sec),
         "rn50_eval_feats_per_sec": _r(rn50_feats_per_sec),
