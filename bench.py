@@ -202,25 +202,32 @@ def main():
     # to epoch batching alone. Steps are dispatched back-to-back (async) with
     # one result fetch at the end; per-iter host syncs would measure the
     # remote tunnel's RTT, not the chip.
-    step1 = make_stage1_step(model, cfg, optimizer, stage="1a")
-    state1i = initial_state(fresh(), optimizer)
-    views64 = jnp.zeros(batch, jnp.int32)
-    state1i, m1 = step1(state1i, bank[:batch], bank_labels[:batch], views64, 3.5e-4)
-    _ = float(m1["loss"])  # compile
-    iter_dts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for i in range(iters):
-            lo = i * batch
-            state1i, m1 = step1(
-                state1i, bank[lo:lo + batch], bank_labels[lo:lo + batch],
-                views64, 3.5e-4,
-            )
-        _ = float(m1["loss"])
-        _ = float(jnp.sum(jax.tree_util.tree_leaves(state1i.params)[0]))
-        iter_dts.append(time.perf_counter() - t0)
-    stage1a_periter_img_per_sec = iters * batch / min(iter_dts)
-    del state1i  # free HBM (params + Adam moments ≈ 1.2 GB per TrainState)
+    def _sec_stage1a_periter():
+        step1 = make_stage1_step(model, cfg, optimizer, stage="1a")
+        state1i = initial_state(fresh(), optimizer)
+        views64 = jnp.zeros(batch, jnp.int32)
+        state1i, m1 = step1(
+            state1i, bank[:batch], bank_labels[:batch], views64, 3.5e-4
+        )
+        _ = float(m1["loss"])  # compile
+        iter_dts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                lo = i * batch
+                state1i, m1 = step1(
+                    state1i, bank[lo:lo + batch], bank_labels[lo:lo + batch],
+                    views64, 3.5e-4,
+                )
+            _ = float(m1["loss"])
+            _ = float(jnp.sum(jax.tree_util.tree_leaves(state1i.params)[0]))
+            iter_dts.append(time.perf_counter() - t0)
+        del state1i  # free HBM (params + Adam moments ≈ 1.2 GB per TrainState)
+        return iters * batch / min(iter_dts)
+
+    stage1a_periter_img_per_sec = _guard(
+        "stage1a_periter", _sec_stage1a_periter
+    )
 
     # ---- gallery feature extraction throughput (eval forward, bf16) ----
     # ONE jitted lax.scan per window with a data dependency between
@@ -230,12 +237,16 @@ def main():
     # tunnel fetch to <0.3%.
     eval_iters = 40
     eval_batch = 128
-    eval_run = benchkit.make_eval_scan(
-        cfg, model, state.params, state.batch_stats,
-        batch=eval_batch, iters=eval_iters,
-    )
-    eval_dt = benchkit.best_of(benchkit.timed(eval_run), windows=2)
-    feats_per_sec = eval_iters * eval_batch / eval_dt
+
+    def _sec_eval():
+        eval_run = benchkit.make_eval_scan(
+            cfg, model, state.params, state.batch_stats,
+            batch=eval_batch, iters=eval_iters,
+        )
+        eval_dt = benchkit.best_of(benchkit.timed(eval_run), windows=2)
+        return eval_iters * eval_batch / eval_dt
+
+    feats_per_sec = _guard("eval_scan", _sec_eval)
 
     # ---- stage-2 fine-tune throughput (full ViT fwd+bwd + losses + Adam) ----
     from mpreid_tpu.engine.steps import make_train_step
@@ -248,8 +259,14 @@ def main():
     )
     loss_fn, opt2, text_features = h2["loss_fn"], h2["opt"], h2["text_features"]
     train_batch, key = h2["batch"], h2["key"]
-    s2_dt = benchkit.best_of(benchkit.step_window(h2, iters=s2_iters), windows=2)
-    stage2_periter_img_per_sec = s2_iters * batch / s2_dt
+
+    def _sec_stage2_periter():
+        s2_dt = benchkit.best_of(
+            benchkit.step_window(h2, iters=s2_iters), windows=2
+        )
+        return s2_iters * batch / s2_dt
+
+    stage2_periter_img_per_sec = _guard("stage2_periter", _sec_stage2_periter)
     h2["state"] = None  # free HBM before the epoch-scan state
 
     # Production stage-2 path on this host (TPU.DEVICE_DATASET, see
@@ -424,7 +441,8 @@ def main():
         3.0 * fwd_flops * stage2_b128_img_per_sec / 1e12
         if stage2_b128_img_per_sec is not None else None
     )
-    eval_achieved_tflops = fwd_flops * feats_per_sec / 1e12
+    eval_achieved_tflops = (fwd_flops * feats_per_sec / 1e12
+                            if feats_per_sec is not None else None)
     rn50_eval_tflops = (rn_flops * rn50_feats_per_sec / 1e12
                         if rn_flops is not None else None)
     rn50_train_tflops = (3.0 * rn_flops * rn50_train_img_per_sec / 1e12
@@ -469,14 +487,15 @@ def main():
         ),
         "model_fwd_gflops_per_img": round(fwd_flops / 1e9, 2),
         "stage2_achieved_tflops": _r(stage2_achieved_tflops, 2),
-        "eval_achieved_tflops": round(eval_achieved_tflops, 2),
+        "eval_achieved_tflops": _r(eval_achieved_tflops, 2),
         "matmul_tflops_measured": _r(matmul_ceiling_tflops),
         "mfu_stage2_vs_measured_matmul": _mfu(stage2_achieved_tflops),
         "mfu_eval_vs_measured_matmul": _mfu(eval_achieved_tflops),
         "peak_bf16_tflops_nominal": peak,
         "mfu_stage2": (round(stage2_achieved_tflops / peak, 3)
                        if peak and stage2_achieved_tflops is not None else None),
-        "mfu_eval": round(eval_achieved_tflops / peak, 3) if peak else None,
+        "mfu_eval": (round(eval_achieved_tflops / peak, 3)
+                     if peak and eval_achieved_tflops is not None else None),
         "device": str(jax.devices()[0]),
         "device_kind": device_kind,
     }

@@ -150,7 +150,7 @@ def _make_ttpt_tuner(model, cfg, num_classes: int):
             return jnp.mean(ent), sim
 
         def body(carry, i):
-            ctx, m, v = carry
+            ctx, m, v, _ = carry
             (loss, sim), g = jax.value_and_grad(entropy_loss, has_aux=True)(ctx)
             m = b1 * m + (1 - b1) * g
             v = b2 * v + (1 - b2) * jnp.square(g)
@@ -158,15 +158,19 @@ def _make_ttpt_tuner(model, cfg, num_classes: int):
             mh = m / (1 - b1**t)
             vh = v / (1 - b2**t)
             ctx = ctx - lr * (mh / (jnp.sqrt(vh) + eps) + wd * ctx)
-            return (ctx, m, v), (loss, sim)
+            # sim rides the CARRY (only the last step's survives) — stacking
+            # it as a scan output would materialize (steps, Q, num_classes)
+            return (ctx, m, v, sim), loss
 
-        init = (ctx0, jnp.zeros_like(ctx0), jnp.zeros_like(ctx0))
-        (ctx, _, _), (ent_trace, sims) = jax.lax.scan(
+        sim0 = jnp.zeros((img_feat_agg.shape[0], num_classes), jnp.float32)
+        init = (ctx0, jnp.zeros_like(ctx0), jnp.zeros_like(ctx0), sim0)
+        (ctx, _, _, sim), ent_trace = jax.lax.scan(
             body, init, jnp.arange(steps)
         )
         # class choice mirrors the fori_loop semantics: similarity computed
         # with the context as of the final update's forward pass
-        sim = sims[-1] if steps > 0 else entropy_loss(ctx0)[1]
+        if steps == 0:
+            sim = entropy_loss(ctx0)[1]
 
         final_tf = text_all(params, bstats, ctx)
         final_tf = final_tf / jnp.linalg.norm(final_tf, axis=1, keepdims=True)

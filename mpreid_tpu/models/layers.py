@@ -95,7 +95,12 @@ class MultiHeadAttention(nn.Module):
         # "hm" keeps torch-packed storage and permutes in-graph instead.
         from mpreid_tpu.ops import attention as attn
 
-        layout = self.layout if self.layout is not None else attn.MODEL_LAYOUT
+        # resolve_layout validates the string (typos must raise, not silently
+        # run packed) and owns the None→default mapping. Towers pass an
+        # explicitly per-tower-resolved layout (models/clip_model.py:68-72,
+        # models/text.py:70); the vision-default fallback here only serves
+        # direct module construction.
+        layout = attn.resolve_layout(self.layout)
         head_major = layout in ("hm", "hm_native")
         if layout == "hm":
             perm = attn.head_major_perm(d, self.num_heads)

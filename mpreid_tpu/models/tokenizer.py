@@ -10,10 +10,15 @@ code.
 
 Text cleaning vs the reference (ref ``simple_tokenizer.py:50-59``): ftfy is
 used **when installed**; otherwise the stdlib fallback applies html unescape
-+ NFC normalization. The fallback is id-identical to ftfy for ASCII and for
-already-valid unicode (ftfy's fixes reduce to NFC there); it diverges ONLY
-on mojibake input (e.g. ``"Ã©"``), which ftfy would repair to ``"é"`` and
-the fallback passes through — pinned by ``tests/test_tokenizer.py::
++ NFC normalization, in that order — matching ftfy's own pipeline position
+for normalization (``fix_text`` unescapes HTML *before* its final NFC pass,
+so entity-encoded combining marks land on the same precomposed ids either
+way). The fallback is id-identical to ftfy for ASCII and for already-valid,
+already-"plain" unicode; it diverges wherever one of ftfy's non-NFC fixers
+would fire: mojibake repair (``"Ã©"`` → ``"é"``), curly-quote uncurling
+(``"don’t"`` → ``"don't"``), latin-ligature expansion (``"ﬁ"`` → ``"fi"``),
+and fullwidth-character narrowing — all of which the fallback passes
+through unchanged. Pinned by ``tests/test_tokenizer.py::
 TestCleaningBoundary``. All prompt templates this framework generates
 ("X X ... person.") are ASCII, so training/eval behavior never depends on
 the difference.
@@ -79,8 +84,9 @@ def _clean_text(text: str) -> str:
         text = html.unescape(html.unescape(text))
     else:
         text = html.unescape(html.unescape(text))
-        # ftfy NFC-normalizes valid unicode; mojibake repair is the only
-        # behavior the fallback lacks
+        # ftfy runs its final NFC pass AFTER unescaping too; what the
+        # fallback lacks is ftfy's other fixers (mojibake repair, quote
+        # uncurling, ligature/width fixes) — see module docstring
         text = unicodedata.normalize("NFC", text)
     text = re.sub(r"\s+", " ", text)
     return text.strip().lower()

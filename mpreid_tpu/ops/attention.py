@@ -289,11 +289,22 @@ MODEL_LAYOUT = "hm_native"
 TEXT_LAYOUT = "hm_native"
 
 
+VALID_LAYOUTS = ("packed", "hm", "hm_native")
+
+
 def resolve_layout(layout: Optional[str], tower: str = "vision") -> str:
-    """Map a config/module layout value ('' or None → tuned default)."""
-    if layout:
-        return layout
-    return TEXT_LAYOUT if tower == "text" else MODEL_LAYOUT
+    """Map a config/module layout value ('' or None → tuned default).
+
+    Unknown strings raise — a typo'd MODEL.ATTN_LAYOUT_* must not silently
+    select the packed fallback (layers.py dispatches on exact names)."""
+    if not layout:
+        layout = TEXT_LAYOUT if tower == "text" else MODEL_LAYOUT
+    if layout not in VALID_LAYOUTS:
+        raise ValueError(
+            f"unknown attention layout {layout!r} (tower={tower}); "
+            f"expected one of {VALID_LAYOUTS}"
+        )
+    return layout
 
 
 def _pick_hg(dh: int, num_heads: int, requested: int) -> int:

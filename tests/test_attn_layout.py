@@ -26,6 +26,18 @@ from mpreid_tpu.ops import attention as attn
 from tiny import tiny_cfg, tiny_model
 
 
+def test_resolve_layout_validates():
+    # defaults resolve; typos raise instead of silently running packed
+    assert attn.resolve_layout(None) in attn.VALID_LAYOUTS
+    assert attn.resolve_layout("", tower="text") in attn.VALID_LAYOUTS
+    for good in attn.VALID_LAYOUTS:
+        assert attn.resolve_layout(good) == good
+    with pytest.raises(ValueError, match="hm-native"):
+        attn.resolve_layout("hm-native")
+    with pytest.raises(ValueError):
+        attn.resolve_layout("headmajor", tower="text")
+
+
 def test_perm_inverse_roundtrip():
     for d, h in [(64, 4), (768, 12), (512, 8), (64, 1)]:
         perm = attn.head_major_perm(d, h)

@@ -118,6 +118,40 @@ class TestCleaningBoundary:
             # real ftfy present: full reference behavior, no divergence
             assert tok.encode(broken) == tok.encode(fixed)
 
+    def test_non_nfc_fixer_boundary(self):
+        """Beyond mojibake, ftfy's non-NFC fixers (quote uncurling,
+        ligature expansion) also diverge from the stdlib fallback — the
+        docstring documents the full class; pin it."""
+        from mpreid_tpu.models import tokenizer as tkz
+
+        tok = get_tokenizer()
+        cases = [("don’t stop", "don't stop"), ("ﬁsh ﬁlet", "fish filet")]
+        for raw, ftfy_fixed in cases:
+            if tkz._ftfy is None:
+                # fallback passes the curly quote / ligature through: ids
+                # match plain NFC, not the ftfy-fixed spelling
+                import unicodedata
+
+                assert tok.encode(raw) == self._reference_ids(
+                    raw, lambda s: unicodedata.normalize("NFC", s)
+                ), raw
+                assert tok.encode(raw) != tok.encode(ftfy_fixed), raw
+            else:
+                assert tok.encode(raw) == tok.encode(ftfy_fixed), raw
+
+    def test_entity_encoded_combining_mark_matches_reference_order(self):
+        """'e&#769;' (combining acute via HTML entity): ftfy unescapes
+        BEFORE its final NFC pass, so the fallback's unescape→NFC order
+        mirrors the reference pipeline and lands on precomposed ids."""
+        from mpreid_tpu.models import tokenizer as tkz
+
+        if tkz._ftfy is not None:
+            import pytest
+
+            pytest.skip("pins the stdlib fallback's ordering")
+        tok = get_tokenizer()
+        assert tok.encode("caf e&#769;") == tok.encode("caf é")
+
     def test_ascii_prompt_templates_are_divergence_free(self):
         """The framework's own prompt surface is pure ASCII, so training and
         eval never cross the boundary (module docstring claim)."""
