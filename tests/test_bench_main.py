@@ -1,0 +1,65 @@
+"""Drives bench.py's FULL main() control flow tiny on CPU.
+
+tests/test_benchkit.py covers the shared program builders; this covers the
+glue that only bench.py has — section ordering, the per-section fault
+guards, donated-state threading across sections, HBM frees, FLOPs/MFU
+arithmetic and extras assembly. A wiring bug here would otherwise surface
+only in the driver's TPU bench run, nulling the recorded metrics for the
+round.
+"""
+
+import json
+import sys
+import os.path as osp
+
+import pytest
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+import bench  # noqa: E402
+
+
+@pytest.mark.slow
+def test_bench_main_smoke(capsys):
+    result = bench.main(smoke=True)
+
+    # printed artifact is ONE parseable JSON line matching the return value
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line) == result
+
+    # headline metric (unguarded section) ran
+    assert result["metric"] == "stage1a_prompt_train_img_per_sec"
+    assert result["value"] > 0
+    assert result["vs_baseline"] > 0
+    ex = result["extras"]
+
+    # every guarded section completed — a None here means a section raised
+    # (the guard printed the traceback summary to stderr)
+    for key in (
+        "gallery_feats_per_sec_per_chip",
+        "stage2_train_img_per_sec",
+        "stage2_img_per_sec_per_step_dispatch",
+        "stage2_b128_img_per_sec",
+        "stage1b_img_per_sec",
+        "stage2b_moe_img_per_sec",
+        "rn50_eval_feats_per_sec",
+        "rn50_train_img_per_sec",
+        "stage1a_img_per_sec_per_iter_dispatch",
+        "market_scale_rerank_seconds",
+        "matmul_tflops_measured",
+    ):
+        assert ex[key] is not None and ex[key] > 0, key
+
+    # derived keys exist (their rounded values can be 0.0 at tiny scale —
+    # tiny-model TFLOP/s round below the artifact's decimal precision)
+    for key in (
+        "stage2_achieved_tflops",
+        "eval_achieved_tflops",
+        "mfu_stage2_vs_measured_matmul",
+        "mfu_eval_vs_measured_matmul",
+        "mfu_rn50_eval_vs_measured_matmul",
+        "mfu_rn50_train_vs_measured_matmul",
+        "market_scale_rerank_speedup_vs_reference_cpu_1core",
+        "model_fwd_gflops_per_img",
+        "rn50_fwd_gflops_per_img",
+    ):
+        assert ex[key] is not None, key
