@@ -141,6 +141,43 @@ def measure_matmul_ceiling_tflops(iters: int = 400, size: int = 4096) -> float:
     return flops / min(dts) / 1e12
 
 
+def wait_for_backend(max_wait_s: float = 900.0, probe_timeout_s: float = 120.0,
+                     retry_sleep_s: float = 30.0, probe_argv=None) -> bool:
+    """Block until the TPU backend answers, up to ``max_wait_s``.
+
+    The remote tunnel has two transient failure modes (observed on this
+    host): backend init raising UNAVAILABLE, and a wedged tunnel that HANGS
+    with zero CPU. Both would kill the bench before the per-section fault
+    guards exist, so the probe runs in a SUBPROCESS with a hard timeout —
+    a hang in the child is killed and retried, never inherited. Returns
+    True once a probe sees a device; False when the budget is exhausted
+    (the caller proceeds and fails with the real error)."""
+    import subprocess
+    import sys
+
+    argv = probe_argv or [
+        sys.executable, "-c", "import jax; assert len(jax.devices()) > 0"
+    ]
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(argv, timeout=probe_timeout_s,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+            reason = f"exit {r.returncode}"
+        except subprocess.TimeoutExpired:
+            reason = f"hang >{probe_timeout_s:.0f}s (wedged tunnel?)"
+        remaining = deadline - time.monotonic()
+        print(f"bench: backend probe {attempt} failed ({reason}); "
+              f"{remaining:.0f}s of retry budget left", file=sys.stderr)
+        if remaining <= retry_sleep_s:
+            return False
+        time.sleep(retry_sleep_s)
+
+
 def main(smoke: bool = False):
     """Run the bench; print ONE JSON line; return the result dict.
 
@@ -157,6 +194,8 @@ def main(smoke: bool = False):
 
     if smoke:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        wait_for_backend()
 
     def _guard(name, fn, default=None):
         """Run one extras section; on failure report to stderr and keep

@@ -18,6 +18,31 @@ sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
 import bench  # noqa: E402
 
 
+def test_wait_for_backend_success_and_budget():
+    # healthy backend: first probe returns immediately
+    ok = bench.wait_for_backend(
+        max_wait_s=5, probe_timeout_s=5,
+        probe_argv=[sys.executable, "-c", "pass"],
+    )
+    assert ok
+
+    # persistently failing probe: budget exhausts, returns False (caller
+    # proceeds and surfaces the real error)
+    ok = bench.wait_for_backend(
+        max_wait_s=1.0, probe_timeout_s=1.0, retry_sleep_s=0.2,
+        probe_argv=[sys.executable, "-c", "raise SystemExit(1)"],
+    )
+    assert not ok
+
+    # hung probe (the wedged-tunnel mode): killed by the timeout, budget
+    # exhausts instead of hanging the bench
+    ok = bench.wait_for_backend(
+        max_wait_s=2.0, probe_timeout_s=0.5, retry_sleep_s=0.2,
+        probe_argv=[sys.executable, "-c", "import time; time.sleep(60)"],
+    )
+    assert not ok
+
+
 @pytest.mark.slow
 def test_bench_main_smoke(capsys):
     result = bench.main(smoke=True)
