@@ -162,14 +162,19 @@ def wait_for_backend(max_wait_s: float = 900.0, probe_timeout_s: float = 120.0,
     attempt = 0
     while True:
         attempt += 1
+        # cap each probe by the remaining budget so the deadline is
+        # enforced, not advisory (a hung probe otherwise overshoots it
+        # by up to a full probe_timeout_s)
+        this_timeout = min(probe_timeout_s,
+                           max(1.0, deadline - time.monotonic()))
         try:
-            r = subprocess.run(argv, timeout=probe_timeout_s,
+            r = subprocess.run(argv, timeout=this_timeout,
                                capture_output=True)
             if r.returncode == 0:
                 return True
             reason = f"exit {r.returncode}"
         except subprocess.TimeoutExpired:
-            reason = f"hang >{probe_timeout_s:.0f}s (wedged tunnel?)"
+            reason = f"hang >{this_timeout:.0f}s (wedged tunnel?)"
         remaining = deadline - time.monotonic()
         print(f"bench: backend probe {attempt} failed ({reason}); "
               f"{remaining:.0f}s of retry budget left", file=sys.stderr)
@@ -217,14 +222,13 @@ def main(smoke: bool = False):
 
     num_classes = 12 if smoke else 1000
     batch = 8 if smoke else 64
+    img_size = (64, 32) if smoke else (256, 128)
 
     # All measured programs come from mpreid_tpu.utils.benchkit — the single
     # source of truth shared with the tools/ A/B scripts and the profiler,
     # so every recorded number is a measurement of the identical graph.
     cfg, model, variables = benchkit.uniprompt_env(
-        num_classes=num_classes,
-        size=(64, 32) if smoke else (256, 128),
-        debug_tiny=smoke,
+        num_classes=num_classes, size=img_size, debug_tiny=smoke,
     )
     embed_dim = model.clip_config.embed_dim  # 512 on the real ViT-B/16
     cfg.SOLVER.STAGE1A.IMS_PER_BATCH = batch
@@ -435,8 +439,7 @@ def main(smoke: bool = False):
     # ---- RN50 path: eval + train throughput (ref configs/person/cnn_base.yml) ----
     def _sec_rn50():
         cfg_rn, rn_model, rn_vars = benchkit.rn50_env(
-            num_classes=num_classes,
-            size=(64, 32) if smoke else (256, 128), debug_tiny=smoke,
+            num_classes=num_classes, size=img_size, debug_tiny=smoke,
         )
         rn_eval = benchkit.make_eval_scan(
             cfg_rn, rn_model, rn_vars["params"], rn_vars["batch_stats"],
@@ -539,7 +542,7 @@ def main(smoke: bool = False):
         "mfu_rn50_train_vs_measured_matmul": _mfu(rn50_train_tflops),
         "stage1a_sec_per_iter": round(dt / iters, 4),
         "stage1a_img_per_sec_per_iter_dispatch": _r(stage1a_periter_img_per_sec),
-        "market_scale_rerank_seconds": _r(rerank_seconds, 2),
+        "market_scale_rerank_seconds": _r(rerank_seconds, 4 if smoke else 2),
         # caveat IN the key: the reference comparison ran on this host's
         # single CPU core (see CLAUDE.md) — not a parallel-CPU baseline
         "market_scale_rerank_speedup_vs_reference_cpu_1core": _r(
