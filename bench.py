@@ -199,8 +199,16 @@ def main(smoke: bool = False):
 
     if smoke:
         jax.config.update("jax_platforms", "cpu")
-    else:
-        wait_for_backend()
+    elif not wait_for_backend():
+        # don't touch the backend in-process after the budget: a wedged
+        # tunnel HANGS init forever, stalling whatever invoked us. Emit an
+        # honest no-measurement line and a nonzero exit instead.
+        print(json.dumps({
+            "metric": "stage1a_prompt_train_img_per_sec",
+            "value": None, "unit": "img/s", "vs_baseline": None,
+            "error": "TPU backend unreachable (probe budget exhausted)",
+        }))
+        raise SystemExit(1)
 
     def _guard(name, fn, default=None):
         """Run one extras section; on failure report to stderr and keep

@@ -43,6 +43,20 @@ def test_wait_for_backend_success_and_budget():
     assert not ok
 
 
+def test_main_exits_with_null_json_when_backend_unreachable(
+        monkeypatch, capsys):
+    # a wedged tunnel hangs backend init forever — after the probe budget
+    # main must emit an honest no-measurement line and exit nonzero rather
+    # than hang whatever invoked it
+    monkeypatch.setattr(bench, "wait_for_backend", lambda: False)
+    with pytest.raises(SystemExit) as exc:
+        bench.main(smoke=False)
+    assert exc.value.code == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] is None
+    assert "unreachable" in out["error"]
+
+
 @pytest.mark.slow
 def test_bench_main_smoke(capsys):
     result = bench.main(smoke=True)
