@@ -99,7 +99,9 @@ def rn50_flops_per_image(clip_config, in_planes: int, num_classes: int) -> float
             res = (hout, wout)
     n = c.h_resolution * c.w_resolution + 1
     f += 3 * 2 * n * inp * inp          # attnpool q/k/v projections
-    f += 2 * 2 * n * inp                # 1-query scores + values
+    # full n×n attention: models/resnet.py AttentionPool2d projects q for
+    # every token and returns all output tokens (callers take index 0)
+    f += 2 * 2 * n * n * inp            # scores + values, all n queries
     f += 2 * n * inp * c.embed_dim      # c_proj
     f += 2 * in_planes * num_classes + 2 * c.embed_dim * num_classes
     return f
@@ -352,24 +354,25 @@ def main(smoke: bool = False):
         ds_pids = jnp.asarray((np.arange(n_data) // 4 % num_classes).astype(np.int32))
         ds_zeros = jnp.zeros(n_data, jnp.int32)
         perm2 = jnp.arange(n_data).reshape(s2_iters, batch)
-        state2e = initial_state(fresh(), opt2)
-        state2e, (l2, a2) = epoch2(
-            state2e, ds_images, ds_pids, ds_zeros, ds_zeros, perm2, 5e-6, key
-        )
-        _ = float(jnp.sum(l2))  # compile
-        s2e_dts = []
-        for _ in range(2):
+        h2e = {"state": initial_state(fresh(), opt2)}
+
+        def run() -> float:
+            state2e = h2e["state"]
             t0 = time.perf_counter()
             state2e, (l2, a2) = epoch2(
                 state2e, ds_images, ds_pids, ds_zeros, ds_zeros, perm2, 5e-6, key
             )
             _ = float(jnp.sum(l2))
             _ = float(jnp.sum(jax.tree_util.tree_leaves(state2e.params)[0]))
-            s2e_dts.append(time.perf_counter() - t0)
-        return s2_iters * batch / min(s2e_dts)
+            h2e["state"] = state2e
+            return time.perf_counter() - t0
 
-    stage2_img_per_sec = _guard("stage2_epoch_scan", _sec_stage2_epoch,
-                                stage2_periter_img_per_sec)
+        s2e_dt = benchkit.best_of(run, windows=2)
+        return s2_iters * batch / s2e_dt
+
+    # no fallback default: a failed epoch-scan section must record null, not
+    # the per-step-dispatch program's number under the epoch-scan keys
+    stage2_img_per_sec = _guard("stage2_epoch_scan", _sec_stage2_epoch)
 
     # Stage-2 at batch 128: the Adam update's HBM traffic (~4.7 ms for the
     # 87M trainable params, batch-independent) amortizes over 2× the images
@@ -445,33 +448,38 @@ def main(smoke: bool = False):
     stage2b_img_per_sec = _guard("stage2b_moe", _sec_stage2b)
 
     # ---- RN50 path: eval + train throughput (ref configs/person/cnn_base.yml) ----
-    def _sec_rn50():
-        cfg_rn, rn_model, rn_vars = benchkit.rn50_env(
-            num_classes=num_classes, size=img_size, debug_tiny=smoke,
-        )
-        rn_eval = benchkit.make_eval_scan(
-            cfg_rn, rn_model, rn_vars["params"], rn_vars["batch_stats"],
-            batch=eval_batch, iters=eval_iters,
-        )
-        rn_eval_dt = benchkit.best_of(benchkit.timed(rn_eval), windows=2)
-        feats = eval_iters * eval_batch / rn_eval_dt
-
-        hrn = benchkit.baseline_harness(
-            cfg_rn, rn_model, rn_vars, num_classes=num_classes, batch=batch
-        )
-        rn_dt = benchkit.best_of(
-            benchkit.step_window(hrn, iters=s2_iters), windows=2
-        )
-        train_ips = s2_iters * batch / rn_dt
-        flops = rn50_flops_per_image(
+    # eval and train get SEPARATE fault barriers (sharing one env): a tunnel
+    # blip during the train half must not discard a completed eval window.
+    rn50_env = _guard("rn50_env", lambda: benchkit.rn50_env(
+        num_classes=num_classes, size=img_size, debug_tiny=smoke,
+    ))
+    rn50_feats_per_sec = rn50_train_img_per_sec = rn_flops = None
+    if rn50_env is not None:
+        cfg_rn, rn_model, rn_vars = rn50_env
+        rn_flops = rn50_flops_per_image(
             rn_model.clip_config, rn_model.in_planes, num_classes
         )
-        return feats, train_ips, flops
 
-    rn50 = _guard("rn50", _sec_rn50)
-    rn50_feats_per_sec, rn50_train_img_per_sec, rn_flops = (
-        rn50 if rn50 is not None else (None, None, None)
-    )
+        def _sec_rn50_eval():
+            rn_eval = benchkit.make_eval_scan(
+                cfg_rn, rn_model, rn_vars["params"], rn_vars["batch_stats"],
+                batch=eval_batch, iters=eval_iters,
+            )
+            rn_eval_dt = benchkit.best_of(benchkit.timed(rn_eval), windows=2)
+            return eval_iters * eval_batch / rn_eval_dt
+
+        rn50_feats_per_sec = _guard("rn50_eval", _sec_rn50_eval)
+
+        def _sec_rn50_train():
+            hrn = benchkit.baseline_harness(
+                cfg_rn, rn_model, rn_vars, num_classes=num_classes, batch=batch
+            )
+            rn_dt = benchkit.best_of(
+                benchkit.step_window(hrn, iters=s2_iters), windows=2
+            )
+            return s2_iters * batch / rn_dt
+
+        rn50_train_img_per_sec = _guard("rn50_train", _sec_rn50_train)
 
     # ---- Market-scale k-reciprocal re-ranking wall-clock ----
     from mpreid_tpu.ops.reranking import re_ranking
@@ -512,10 +520,16 @@ def main(smoke: bool = False):
     )
     eval_achieved_tflops = (fwd_flops * feats_per_sec / 1e12
                             if feats_per_sec is not None else None)
-    rn50_eval_tflops = (rn_flops * rn50_feats_per_sec / 1e12
-                        if rn_flops is not None else None)
-    rn50_train_tflops = (3.0 * rn_flops * rn50_train_img_per_sec / 1e12
-                         if rn_flops is not None else None)
+    # each half has its own fault barrier — either throughput can be None
+    # independently of rn_flops
+    rn50_eval_tflops = (
+        rn_flops * rn50_feats_per_sec / 1e12
+        if rn_flops is not None and rn50_feats_per_sec is not None else None
+    )
+    rn50_train_tflops = (
+        3.0 * rn_flops * rn50_train_img_per_sec / 1e12
+        if rn_flops is not None and rn50_train_img_per_sec is not None else None
+    )
     matmul_ceiling_tflops = _guard(
         "matmul_ceiling",
         lambda: measure_matmul_ceiling_tflops(

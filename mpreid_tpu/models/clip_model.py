@@ -253,18 +253,21 @@ def _np(t) -> np.ndarray:
     return np.asarray(t, dtype=np.float32)
 
 
-def _convert_block(sd: Dict[str, Any], prefix: str, perm=None) -> Dict[str, Any]:
+def _convert_block(sd: Dict[str, Any], prefix: str, perm=None,
+                   mlp: bool = True) -> Dict[str, Any]:
     """One ResidualAttentionBlock: torch keys → flax param subtree.
 
     ``perm`` (a head_major_perm array) re-orders the in_proj columns for
     models whose attention layout is "hm_native" (params stored head-major).
+    ``mlp=False`` skips the dense-MLP keys (MoE blocks replace them with
+    gate + stacked experts, converted by the caller).
     """
     in_kernel = _np(sd[f"{prefix}.attn.in_proj_weight"]).T
     in_bias = _np(sd[f"{prefix}.attn.in_proj_bias"])
     if perm is not None:
         in_kernel = np.ascontiguousarray(in_kernel[:, perm])
         in_bias = np.ascontiguousarray(in_bias[perm])
-    return {
+    block = {
         "attn": {
             "in_proj_kernel": in_kernel,
             "in_proj_bias": in_bias,
@@ -275,7 +278,13 @@ def _convert_block(sd: Dict[str, Any], prefix: str, perm=None) -> Dict[str, Any]
             "scale": _np(sd[f"{prefix}.ln_1.weight"]),
             "bias": _np(sd[f"{prefix}.ln_1.bias"]),
         },
-        "mlp": {
+        "ln_2": {
+            "scale": _np(sd[f"{prefix}.ln_2.weight"]),
+            "bias": _np(sd[f"{prefix}.ln_2.bias"]),
+        },
+    }
+    if mlp:
+        block["mlp"] = {
             "c_fc": {
                 "kernel": _np(sd[f"{prefix}.mlp.c_fc.weight"]).T,
                 "bias": _np(sd[f"{prefix}.mlp.c_fc.bias"]),
@@ -284,12 +293,8 @@ def _convert_block(sd: Dict[str, Any], prefix: str, perm=None) -> Dict[str, Any]
                 "kernel": _np(sd[f"{prefix}.mlp.c_proj.weight"]).T,
                 "bias": _np(sd[f"{prefix}.mlp.c_proj.bias"]),
             },
-        },
-        "ln_2": {
-            "scale": _np(sd[f"{prefix}.ln_2.weight"]),
-            "bias": _np(sd[f"{prefix}.ln_2.bias"]),
-        },
-    }
+        }
+    return block
 
 
 def _convert_bn(sd, prefix: str) -> Tuple[Dict, Dict]:

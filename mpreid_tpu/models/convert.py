@@ -86,22 +86,11 @@ def _convert_vit_moe_trained(vis_sd, cfg, n_moe) -> Tuple[Dict, Dict]:
     perm = cfg._perm("vision")
     for i in range(n_moe):
         prefix = f"visual.transformer.resblocks.{i}"
-        in_kernel = _np(vis_sd[f"{prefix}.attn.in_proj_weight"]).T
-        in_bias = _np(vis_sd[f"{prefix}.attn.in_proj_bias"])
-        if perm is not None:
-            in_kernel = np.ascontiguousarray(in_kernel[:, perm])
-            in_bias = np.ascontiguousarray(in_bias[perm])
-        block = {
-            "attn": {
-                "in_proj_kernel": in_kernel,
-                "in_proj_bias": in_bias,
-                "out_proj_kernel": _np(vis_sd[f"{prefix}.attn.out_proj.weight"]).T,
-                "out_proj_bias": _np(vis_sd[f"{prefix}.attn.out_proj.bias"]),
-            },
-            "ln_1": {"scale": _np(vis_sd[f"{prefix}.ln_1.weight"]),
-                     "bias": _np(vis_sd[f"{prefix}.ln_1.bias"])},
-            "ln_2": {"scale": _np(vis_sd[f"{prefix}.ln_2.weight"]),
-                     "bias": _np(vis_sd[f"{prefix}.ln_2.bias"])},
+        # attn/ln load + head-major permute shared with every other block
+        # conversion path (clip_model._convert_block); only the MoE parts
+        # (gate + stacked experts) are specific to this layout
+        block = _convert_block(vis_sd, prefix, perm, mlp=False)
+        block.update({
             "gate_kernel": _np(vis_sd[f"{prefix}.gate.weight"]).T,
             "experts": {
                 "c_fc_kernel": np.stack([
@@ -117,7 +106,7 @@ def _convert_vit_moe_trained(vis_sd, cfg, n_moe) -> Tuple[Dict, Dict]:
                     _np(vis_sd[f"{prefix}.experts.{m}.c_proj.bias"]) for m in range(e)
                 ]),
             },
-        }
+        })
         params[f"moe_resblocks_{i}"] = block
     return params, {}
 

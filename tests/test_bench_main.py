@@ -58,6 +58,41 @@ def test_main_exits_with_null_json_when_backend_unreachable(
 
 
 @pytest.mark.slow
+def test_fault_barriers_null_failed_sections_only(monkeypatch, capsys):
+    """A failed section must record null under ITS keys — never another
+    program's number — and must not take sibling sections down with it.
+
+    Injects failures into (a) the stage-2 epoch scan (the headline stage-2
+    program: a silent fallback to the per-step-dispatch number here would be
+    indistinguishable in the artifact) and (b) the RN50 train half (whose
+    barrier is split from RN50 eval so a completed eval window survives)."""
+    import mpreid_tpu.engine.steps as steps
+    from mpreid_tpu.utils import benchkit
+
+    def boom(*a, **k):
+        raise RuntimeError("injected section failure")
+
+    monkeypatch.setattr(steps, "make_train_epoch", boom)
+    monkeypatch.setattr(benchkit, "baseline_harness", boom)
+    result = bench.main(smoke=True)
+    _ = capsys.readouterr()
+    ex = result["extras"]
+
+    # failed sections are null, including everything derived from them
+    for key in ("stage2_train_img_per_sec", "stage2_achieved_tflops",
+                "mfu_stage2_vs_measured_matmul", "mfu_stage2",
+                "rn50_train_img_per_sec", "mfu_rn50_train_vs_measured_matmul"):
+        assert ex[key] is None, key
+
+    # siblings of the failed sections survive
+    assert result["value"] > 0
+    assert ex["stage2_img_per_sec_per_step_dispatch"] > 0
+    assert ex["rn50_eval_feats_per_sec"] > 0
+    assert ex["mfu_rn50_eval_vs_measured_matmul"] is not None
+    assert ex["rn50_fwd_gflops_per_img"] > 0
+
+
+@pytest.mark.slow
 def test_bench_main_smoke(capsys):
     result = bench.main(smoke=True)
 

@@ -72,8 +72,8 @@ def main():
     cfg, model, variables = build()
     if what in ("stage1", "both"):
         for text_layout, pol in [
-            ("hm", "pallas"),          # current default
-            ("hm_native", "pallas"),   # stored-head-major (no fwd gather)
+            ("hm_native", "pallas"),   # CURRENT DEFAULT (stored head-major)
+            ("hm", "pallas"),          # superseded: in-graph permute, ~2% slower
             ("hm", "xla"),             # measured dead end (re-verification)
         ]:
             set_config("packed", text_layout, pol)
@@ -81,8 +81,10 @@ def main():
             print(f"stage1a text={text_layout:9s} masked={pol:6s} "
                   f"{ips:7.1f} img/s", flush=True)
     if what in ("stage2", "both"):
-        for vision_layout in ("packed", "hm", "hm_native"):
-            set_config(vision_layout, "hm", "pallas")
+        # hm_native is the CURRENT DEFAULT vision layout; text fixed at the
+        # production default (stage-2a barely touches the text tower)
+        for vision_layout in ("hm_native", "packed", "hm"):
+            set_config(vision_layout, "hm_native", "pallas")
             ips = bench_stage2(cfg, model, variables)
             print(f"stage2a vision={vision_layout:9s} "
                   f"{ips:7.1f} img/s", flush=True)
