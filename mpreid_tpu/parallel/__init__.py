@@ -10,3 +10,10 @@ from .mesh import (
     shard_variables,
 )
 from .zero import ZeroOptimizer, zero_sharded
+from .pipeline import (
+    gpipe_apply,
+    pipe_mesh,
+    pipelined_blocks,
+    stack_block_params,
+    unstack_block_params,
+)
