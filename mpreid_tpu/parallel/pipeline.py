@@ -86,7 +86,8 @@ def unstack_block_params(stacked: Any, prefix: str = "resblocks_") -> Dict[str, 
 def gpipe_apply(block_apply: Callable[[Any, jax.Array], jax.Array],
                 stacked_params: Any, x: jax.Array, mesh: Mesh,
                 microbatches: Optional[int] = None,
-                axis_name: str = "pipe") -> jax.Array:
+                axis_name: str = "pipe",
+                batch_axis: Optional[str] = None) -> jax.Array:
     """Apply ``S × L/S`` blocks to ``x`` (batch-leading) under GPipe.
 
     ``block_apply(block_params, h) -> h`` is one block on one microbatch;
@@ -94,12 +95,22 @@ def gpipe_apply(block_apply: Callable[[Any, jax.Array], jax.Array],
     ``P(axis_name)`` on its stage axis (pass it placed or let GSPMD move
     it). Exactly equal to applying the blocks sequentially: microbatching
     is exact for per-sample block math (LN/attention never mix samples).
+
+    ``batch_axis`` composes PP with DP on a 2-D mesh (e.g.
+    ``('data', 'pipe')``): each microbatch's sample axis shards over it, so
+    every data column runs its own independent pipeline over the shared
+    stage-sharded params — ppermute/psum ride only the pipe axis.
     """
     n_stages = mesh.shape[axis_name]
     b = x.shape[0]
     m = microbatches if microbatches is not None else min(b, 2 * n_stages)
     if b % m:
         raise ValueError(f"batch {b} not divisible into {m} microbatches")
+    if batch_axis is not None and (b // m) % mesh.shape[batch_axis]:
+        raise ValueError(
+            f"microbatch {b // m} not divisible over '{batch_axis}' "
+            f"({mesh.shape[batch_axis]} shards)"
+        )
     x_mb = x.reshape((m, b // m) + x.shape[1:])
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
@@ -138,9 +149,10 @@ def gpipe_apply(block_apply: Callable[[Any, jax.Array], jax.Array],
         # psum (exact: x + 0) replicates the result across stages
         return jax.lax.psum(out, axis_name)
 
+    data_spec = P(None, batch_axis) if batch_axis is not None else P()
     fn = shard_map(
         pipelined, mesh=mesh,
-        in_specs=(P(axis_name), P()), out_specs=P(),
+        in_specs=(P(axis_name), data_spec), out_specs=data_spec,
         check_vma=False,  # stage-varying intermediates by construction
     )
     out = fn(stacked_params, x_mb)
@@ -152,7 +164,8 @@ def pipelined_blocks(block_module, params: Dict[str, Any], n_layers: int,
                      microbatches: Optional[int] = None,
                      mask: Optional[jax.Array] = None,
                      prefix: str = "resblocks_",
-                     axis_name: str = "pipe") -> jax.Array:
+                     axis_name: str = "pipe",
+                     batch_axis: Optional[str] = None) -> jax.Array:
     """Run a tower's ``{prefix}{i}`` blocks (a flax module applied per
     block, e.g. ``models.layers.ResidualAttentionBlock``) under GPipe."""
     stacked = stack_block_params(params, n_layers, mesh.shape[axis_name], prefix)
@@ -161,4 +174,5 @@ def pipelined_blocks(block_module, params: Dict[str, Any], n_layers: int,
         return block_module.apply({"params": p}, h, mask)
 
     return gpipe_apply(apply_one, stacked, x, mesh,
-                       microbatches=microbatches, axis_name=axis_name)
+                       microbatches=microbatches, axis_name=axis_name,
+                       batch_axis=batch_axis)

@@ -104,6 +104,48 @@ def test_gpipe_grads_match_sequential(tower):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_gpipe_composes_with_dp(tower):
+    """PP × DP on a 2-D ('data','pipe') mesh: every data column runs its own
+    pipeline over the shared stage-sharded params; result equals sequential."""
+    from jax.sharding import Mesh
+
+    blk, params, x = tower
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "pipe"))
+    y = pipelined_blocks(blk, params, LAYERS, x, mesh, microbatches=2,
+                         batch_axis="data")
+    ref = _sequential(blk, params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-6, atol=2e-6)
+
+    # gradients flow through the composed mesh too
+    stacked = stack_block_params(params, LAYERS, 4)
+    coef = jnp.asarray(np.random.RandomState(2).randn(*x.shape), jnp.float32)
+
+    def apply_one(p, h):
+        return blk.apply({"params": p}, h)
+
+    def loss_pipe(stacked):
+        y = gpipe_apply(apply_one, stacked, x, mesh, microbatches=2,
+                        batch_axis="data")
+        return jnp.sum(y * coef)
+
+    def loss_seq(stacked):
+        return jnp.sum(_sequential(blk, unstack_block_params(stacked), x) * coef)
+
+    gp = jax.grad(loss_pipe)(stacked)
+    gs = jax.grad(loss_seq)(stacked)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        ),
+        gp, gs,
+    )
+
+    # microbatch shard divisibility over 'data' is validated
+    with pytest.raises(ValueError):
+        pipelined_blocks(blk, params, LAYERS, x[:6], mesh, microbatches=2,
+                         batch_axis="data")  # 3 % 2 data shards
+
+
 def test_gpipe_shape_validation(tower):
     blk, params, x = tower
     with pytest.raises(ValueError):
