@@ -87,7 +87,8 @@ def gpipe_apply(block_apply: Callable[[Any, jax.Array], jax.Array],
                 stacked_params: Any, x: jax.Array, mesh: Mesh,
                 microbatches: Optional[int] = None,
                 axis_name: str = "pipe",
-                batch_axis: Optional[str] = None) -> jax.Array:
+                batch_axis: Optional[str] = None,
+                remat: bool = False) -> jax.Array:
     """Apply ``S × L/S`` blocks to ``x`` (batch-leading) under GPipe.
 
     ``block_apply(block_params, h) -> h`` is one block on one microbatch;
@@ -100,6 +101,11 @@ def gpipe_apply(block_apply: Callable[[Any, jax.Array], jax.Array],
     ``('data', 'pipe')``): each microbatch's sample axis shards over it, so
     every data column runs its own independent pipeline over the shared
     stage-sharded params — ppermute/psum ride only the pipe axis.
+
+    ``remat=True`` wraps each stage in ``jax.checkpoint`` — GPipe's standard
+    memory form: the backward pass recomputes stage activations per
+    microbatch instead of keeping all ``M × L`` block activations live,
+    exactly the trade a deep tower needs (same gradients, more FLOPs).
     """
     n_stages = mesh.shape[axis_name]
     b = x.shape[0]
@@ -124,6 +130,9 @@ def gpipe_apply(block_apply: Callable[[Any, jax.Array], jax.Array],
                 return block_apply(p, carry), None
             out, _ = jax.lax.scan(body, h, stage_params)
             return out
+
+        if remat:
+            stage_fn = jax.checkpoint(stage_fn)
 
         def tick(carry, t):
             recv, out = carry
@@ -155,7 +164,9 @@ def gpipe_apply(block_apply: Callable[[Any, jax.Array], jax.Array],
         in_specs=(P(axis_name), data_spec), out_specs=data_spec,
         check_vma=False,  # stage-varying intermediates by construction
     )
-    out = fn(stacked_params, x_mb)
+    # jit required: remat's closed_call can't evaluate eagerly inside
+    # shard_map, and the production path is always jitted anyway
+    out = jax.jit(fn)(stacked_params, x_mb)
     return out.reshape((b,) + x.shape[1:])
 
 

@@ -73,7 +73,8 @@ def test_gpipe_forward_with_causal_mask(tower):
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=2e-6, atol=2e-6)
 
 
-def test_gpipe_grads_match_sequential(tower):
+@pytest.mark.parametrize("remat", [False, True])
+def test_gpipe_grads_match_sequential(tower, remat):
     blk, params, x = tower
     mesh = pipe_mesh(4)
     stacked = stack_block_params(params, LAYERS, 4)
@@ -85,7 +86,8 @@ def test_gpipe_grads_match_sequential(tower):
         return blk.apply({"params": p}, h)
 
     def loss_pipe(stacked, x):
-        y = gpipe_apply(apply_one, stacked, x, mesh, microbatches=4)
+        y = gpipe_apply(apply_one, stacked, x, mesh, microbatches=4,
+                        remat=remat)
         return jnp.sum(y * coef)
 
     def loss_seq(stacked, x):
