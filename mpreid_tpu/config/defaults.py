@@ -231,6 +231,11 @@ def get_default_cfg() -> CN:
     # Mesh axis sizes; -1 means "all available devices" on that axis.
     _C.TPU.MESH_DATA = -1      # batch / gallery sharding axis
     _C.TPU.MESH_MODEL = 1      # tensor/expert sharding axis
+    # Megatron-style tensor parallelism over the transformer towers
+    # themselves (QKV/MLP-in column-parallel, out-proj/MLP-out row-parallel
+    # over 'model' — parallel/mesh.py::param_spec). For towers too big to
+    # replicate; ViT-B/16 fits per chip, so it defaults off.
+    _C.TPU.TP_TOWERS = False
     _C.TPU.COMPUTE_DTYPE = "bfloat16"
     _C.TPU.PARAM_DTYPE = "float32"
     # Host-side image decode workers feeding the device pipeline.

@@ -182,12 +182,16 @@ def do_train(
         from mpreid_tpu.parallel import mesh_from_cfg, shard_variables
 
         mesh = mesh_from_cfg(cfg)
-        variables = shard_variables(variables, mesh)
-        logger.info(f"Training over mesh {dict(mesh.shape)}")
+        tp_towers = getattr(cfg.TPU, "TP_TOWERS", False)
+        variables = shard_variables(variables, mesh, tp_towers=tp_towers)
+        logger.info(
+            f"Training over mesh {dict(mesh.shape)}"
+            + (" with tensor-parallel towers" if tp_towers else "")
+        )
         if getattr(cfg.TPU, "ZERO_OPT_STATE", False):
             from mpreid_tpu.parallel import zero_sharded
 
-            optimizer = zero_sharded(optimizer, mesh)
+            optimizer = zero_sharded(optimizer, mesh, tp_towers=tp_towers)
             logger.info("ZeRO-1: optimizer moments sharded over 'data'")
 
     with_center = "center" in cfg.MODEL.METRIC_LOSS_TYPE

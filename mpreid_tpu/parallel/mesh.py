@@ -65,11 +65,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_spec(path: str) -> P:
+def param_spec(path: str, tp_towers: bool = False) -> P:
     """PartitionSpec for one parameter, by path string.
 
     TP: classifier kernels (in, num_classes) shard the class axis.
     EP: expert tensors (E, ...) shard the expert axis.
+
+    With ``tp_towers`` (``TPU.TP_TOWERS``), the transformer towers themselves
+    are Megatron-style tensor-parallel over 'model' (Shoeybi et al. 2019 —
+    the public recipe; the reference has no TP at all, SURVEY.md §2.3):
+
+      * QKV projection column-parallel — ``in_proj_kernel`` (d, 3d) shards
+        its output columns, ``in_proj_bias`` (3d,) follows. Under the
+        default head-major ("hm_native") storage the columns are grouped
+        per head, so a 'model' axis that divides num_heads shards whole
+        heads — each shard computes its heads' attention locally.
+      * attention output row-parallel — ``out_proj_kernel`` (d, d) shards
+        its input rows; GSPMD closes the partial sums with one psum.
+      * MLP ``c_fc`` column-parallel / ``c_proj`` row-parallel, the classic
+        pairing that needs no collective between the two matmuls.
+
+    Expressed purely as placements: GSPMD propagates the shardings through
+    the einsums and inserts the ICI collectives. Everything not matched
+    (LayerNorms, embeddings, conv patchify, lora_a) replicates.
     """
     parts = path.split("/")
     if "classifier" in parts[0] and parts[-1] == "kernel":
@@ -79,17 +97,31 @@ def param_spec(path: str) -> P:
     if parts[-1] == "ctx_generic":
         # per-identity prompt contexts scale with num_classes — shard them
         return P("model")
+    if tp_towers and "experts" not in parts:
+        leaf, parent = parts[-1], parts[-2] if len(parts) >= 2 else ""
+        if leaf in ("in_proj_kernel", "lora_b"):
+            return P(None, "model")   # column-parallel QKV (+ its adapter)
+        if leaf == "in_proj_bias":
+            return P("model")
+        if leaf == "out_proj_kernel":
+            return P("model", None)   # row-parallel: partial sums -> psum
+        if parent == "c_fc":
+            return P(None, "model") if leaf == "kernel" else P("model")
+        if parent == "c_proj" and leaf == "kernel":
+            return P("model", None)
     return P()
 
 
-def shard_variables(variables: Any, mesh: Mesh) -> Any:
+def shard_variables(variables: Any, mesh: Mesh, tp_towers: bool = False) -> Any:
     """Place a variable tree on the mesh per ``param_spec``."""
     from mpreid_tpu.solver.optim import path_strings
 
     def place(subtree):
         names = path_strings(subtree)
         return jax.tree_util.tree_map(
-            lambda x, n: jax.device_put(x, NamedSharding(mesh, param_spec(n))),
+            lambda x, n: jax.device_put(
+                x, NamedSharding(mesh, param_spec(n, tp_towers))
+            ),
             subtree,
             names,
         )

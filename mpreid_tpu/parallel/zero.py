@@ -119,12 +119,15 @@ class ZeroOptimizer(Optimizer):
         return new_train, new_state
 
 
-def zero_sharded(base: Optimizer, mesh, axis: str = "data") -> ZeroOptimizer:
+def zero_sharded(base: Optimizer, mesh, axis: str = "data",
+                 tp_towers: bool = False) -> ZeroOptimizer:
     """Rebind an optimizer's state layout to ZeRO-1 sharding over ``mesh``.
 
     Shares every configured attribute with ``base`` (no re-derivation); the
     returned optimizer must be the one passed to BOTH ``initial_state`` and
     ``make_train_step`` so init layout and update constraints agree.
+    ``tp_towers`` must match the ``shard_variables`` call so tensor-parallel
+    tower leaves keep their own layout (see class docstring).
     """
     from mpreid_tpu.parallel.mesh import param_spec
 
@@ -137,6 +140,6 @@ def zero_sharded(base: Optimizer, mesh, axis: str = "data") -> ZeroOptimizer:
     # ZeRO only what would otherwise replicate (see class docstring)
     z.zero_keys = frozenset(
         k for k, t in base._trainable_flat.items()
-        if t and param_spec("/".join(k)) == P()
+        if t and param_spec("/".join(k), tp_towers) == P()
     )
     return z

@@ -19,9 +19,11 @@ import bench  # noqa: E402
 
 
 def test_wait_for_backend_success_and_budget():
-    # healthy backend: first probe returns immediately
+    # healthy backend: first probe returns immediately (budget generous —
+    # interpreter startup on this 1-core host can exceed 5 s when another
+    # test job loads the CPU)
     ok = bench.wait_for_backend(
-        max_wait_s=5, probe_timeout_s=5,
+        max_wait_s=60, probe_timeout_s=30,
         probe_argv=[sys.executable, "-c", "pass"],
     )
     assert ok

@@ -365,3 +365,125 @@ def test_fused_attention_hm_under_shard_map():
     got = np.asarray(sharded(qkv_hm))
     exp = np.asarray(mha_reference(qkv, 2))
     np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+
+
+class TestTensorParallelTowers:
+    """TPU.TP_TOWERS: Megatron-style sharding of the tower weights
+    (parallel/mesh.py::param_spec tp_towers rules) must place the expected
+    axes and leave the train step's math unchanged vs single device."""
+
+    def _setup(self, heads=2):
+        from tiny import tiny_cfg, tiny_model
+
+        cfg = tiny_cfg()
+        # SGD for the equivalence check: its update is linear in the grad,
+        # so TP-vs-replicated differences stay at fp reduction-order noise.
+        # Adam's step-1 update is ~lr*sign(g) — sign flips on near-zero
+        # grads would demand a tolerance of ~2*lr, too loose to mean much.
+        cfg.SOLVER.OPTIMIZER_NAME = "SGD"
+        model, variables = tiny_model(
+            cfg, num_classes=8,
+            clip_overrides={"transformer_heads": heads},
+        )
+        return cfg, model, variables
+
+    def test_param_placement(self, mesh2d):
+        from mpreid_tpu.parallel.mesh import param_spec
+        from jax.sharding import PartitionSpec as P
+
+        cfg, model, variables = self._setup()
+        sv = shard_variables(variables, mesh2d, tp_towers=True)
+
+        def spec_of(path):
+            node = sv["params"]
+            for p in path.split("/"):
+                node = node[p]
+            return node.sharding.spec
+
+        blk = "visual/resblocks_0"
+        assert spec_of(f"{blk}/attn/in_proj_kernel") == P(None, "model")
+        assert spec_of(f"{blk}/attn/in_proj_bias") == P("model")
+        assert spec_of(f"{blk}/attn/out_proj_kernel") == P("model", None)
+        assert spec_of(f"{blk}/attn/out_proj_bias") == P()
+        assert spec_of(f"{blk}/mlp/c_fc/kernel") == P(None, "model")
+        assert spec_of(f"{blk}/mlp/c_fc/bias") == P("model")
+        assert spec_of(f"{blk}/mlp/c_proj/kernel") == P("model", None)
+        assert spec_of(f"{blk}/mlp/c_proj/bias") == P()
+        # LayerNorms and the patchify conv replicate
+        assert spec_of(f"{blk}/ln_1/scale") == P()
+        # expert stacks keep the EP rule even under tp_towers
+        assert param_spec("visual/resblocks_0/experts/c_fc_kernel", True) \
+            == P("model")
+
+    def test_tp_step_matches_single_device(self, mesh2d):
+        from mpreid_tpu.engine.steps import make_train_step
+        from mpreid_tpu.engine.train_state import initial_state
+        from mpreid_tpu.losses import make_loss
+        from mpreid_tpu.solver import make_optimizer
+
+        cfg, model, variables = self._setup()
+        loss_fn, _ = make_loss(cfg, 8)
+        opt = make_optimizer(cfg.SOLVER, variables["params"], stage="baseline")
+        step = make_train_step(model, cfg, loss_fn, opt)
+
+        rng = np.random.RandomState(0)
+        batch_np = {
+            "images": rng.randint(0, 255, (16, 32, 16, 3), dtype=np.uint8),
+            "pids": np.repeat(np.arange(4), 4).astype(np.int32),
+            "camids": np.zeros(16, np.int32),
+            "trackids": np.zeros(16, np.int32),
+        }
+        key = jax.random.PRNGKey(7)
+
+        host_vars = jax.tree_util.tree_map(np.asarray, variables)
+        state1 = initial_state(variables, opt)
+        new1, m1 = step(
+            state1, {k: jnp.asarray(v) for k, v in batch_np.items()}, 1e-3, key
+        )
+        loss1 = float(m1["loss"])
+        p1 = [np.asarray(l) for l in jax.tree_util.tree_leaves(new1.params)]
+
+        with mesh2d:
+            sv = shard_variables(host_vars, mesh2d, tp_towers=True)
+            state8 = initial_state(sv, opt)
+            new8, m8 = step(state8, shard_batch(batch_np, mesh2d), 1e-3, key)
+            loss8 = float(m8["loss"])
+            p8 = [np.asarray(l) for l in jax.tree_util.tree_leaves(new8.params)]
+
+        assert np.isclose(loss1, loss8, rtol=1e-4), (loss1, loss8)
+        for a, b in zip(p1, p8):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+    def test_tp_composes_with_zero1(self, mesh2d):
+        """ZeRO-1 over 'data' + TP towers over 'model': tower leaves keep
+        their TP layout (excluded from zero_keys), step runs and matches."""
+        from mpreid_tpu.engine.steps import make_train_step
+        from mpreid_tpu.engine.train_state import initial_state
+        from mpreid_tpu.losses import make_loss
+        from mpreid_tpu.parallel import zero_sharded
+        from mpreid_tpu.solver import make_optimizer
+
+        cfg, model, variables = self._setup()
+        loss_fn, _ = make_loss(cfg, 8)
+        base = make_optimizer(cfg.SOLVER, variables["params"], stage="baseline")
+        zopt = zero_sharded(base, mesh2d, tp_towers=True)
+        assert not any(
+            "in_proj_kernel" in k or "c_fc" in k
+            for key in zopt.zero_keys for k in ["/".join(key)]
+        )
+        step = make_train_step(model, cfg, loss_fn, zopt)
+
+        rng = np.random.RandomState(1)
+        batch_np = {
+            "images": rng.randint(0, 255, (16, 32, 16, 3), dtype=np.uint8),
+            "pids": np.repeat(np.arange(4), 4).astype(np.int32),
+            "camids": np.zeros(16, np.int32),
+            "trackids": np.zeros(16, np.int32),
+        }
+        with mesh2d:
+            sv = shard_variables(variables, mesh2d, tp_towers=True)
+            state = initial_state(sv, zopt)
+            new, m = step(
+                state, shard_batch(batch_np, mesh2d), 1e-3, jax.random.PRNGKey(3)
+            )
+            assert np.isfinite(float(m["loss"]))
