@@ -253,6 +253,10 @@ def get_default_cfg() -> CN:
     # programs compile once per (stage, shape); across process restarts the
     # cache turns 20-40 s TPU recompiles into disk loads (utils/platform.py).
     _C.TPU.COMPILE_CACHE_DIR = ""
+    # Write checkpoints on a background thread (the device->host fetch stays
+    # synchronous — the next step donates the state's buffers — but the
+    # GB-scale orbax serialize+write overlaps training; utils/checkpoint.py).
+    _C.TPU.ASYNC_CHECKPOINT = False
     # ZeRO-1: shard optimizer moments over the mesh 'data' axis (1/N state
     # per device, bitwise-identical updates; parallel/zero.py). Takes effect
     # whenever training runs over a mesh.

@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 from mpreid_tpu.utils.meter import AverageMeter
-from mpreid_tpu.utils.checkpoint import save_checkpoint
+from mpreid_tpu.utils.checkpoint import save_checkpoint, wait_for_pending_saves
 
 from .evaluator import R1mAPEvaluator
 from .steps import make_eval_step, make_train_epoch, make_train_step
@@ -345,6 +345,7 @@ def do_train(
 
     total = timedelta(seconds=time.monotonic() - all_start)
     logger.info(f"Total running time: {total}")
+    wait_for_pending_saves()  # surface any async checkpoint-write failure
     return state, history
 
 

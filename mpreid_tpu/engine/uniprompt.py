@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mpreid_tpu.utils.checkpoint import save_checkpoint
+from mpreid_tpu.utils.checkpoint import save_checkpoint, wait_for_pending_saves
 from mpreid_tpu.utils.meter import AverageMeter
 
 from .processor import run_validation
@@ -139,6 +139,7 @@ def do_train_stage1(
     variables = dict(variables)
     variables["params"] = state.params
     variables["batch_stats"] = state.batch_stats
+    wait_for_pending_saves()  # surface any async checkpoint-write failure
     return variables, history
 
 
@@ -319,6 +320,7 @@ def do_train_stage2(
     variables = dict(variables)
     variables["params"] = state.params
     variables["batch_stats"] = state.batch_stats
+    wait_for_pending_saves()  # surface any async checkpoint-write failure
     return variables, history
 
 

@@ -132,10 +132,35 @@ def unnest_opt_state(nested: dict):
     )
 
 
+# Single-slot background checkpoint writer (TPU.ASYNC_CHECKPOINT). The
+# device->host fetch (_to_numpy) must stay synchronous — the very next train
+# step DONATES the state's buffers — but once the payload is host numpy the
+# orbax serialize+write of a GB-scale state no longer needs to stall the
+# epoch loop. One slot: a new save joins the previous one first, so at most
+# one writer thread ever runs and failures surface on the next save or at
+# wait_for_pending_saves() (engines call it when training ends).
+_PENDING_SAVE: list = []
+
+
+def wait_for_pending_saves() -> None:
+    """Join the in-flight async checkpoint write, re-raising its failure."""
+    while _PENDING_SAVE:
+        thread, path, errbox = _PENDING_SAVE.pop()
+        thread.join()
+        if errbox:
+            raise RuntimeError(
+                f"async checkpoint write to {path} failed"
+            ) from errbox[0]
+
+
 def save_checkpoint(path: str, state: Any, epoch: int, cfg: Any = None) -> None:
-    """Save full train state (+epoch) to ``path`` (a directory)."""
+    """Save full train state (+epoch) to ``path`` (a directory).
+
+    With ``cfg.TPU.ASYNC_CHECKPOINT`` the disk write happens on a background
+    thread (the reference blocks its epoch loop on torch.save, ref
+    processor.py:107-114; here only the host fetch is synchronous).
+    """
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
     payload = {
         "params": _to_numpy(state.params),
         "batch_stats": _to_numpy(state.batch_stats),
@@ -145,8 +170,31 @@ def save_checkpoint(path: str, state: Any, epoch: int, cfg: Any = None) -> None:
     }
     if state.centers is not None:
         payload["centers"] = np.asarray(state.centers)
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+
+    def write():
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+
+    if cfg is not None and getattr(cfg.TPU, "ASYNC_CHECKPOINT", False):
+        import threading
+
+        wait_for_pending_saves()  # single slot; surfaces the prior failure
+        errbox: list = []
+
+        def guarded():
+            try:
+                write()
+            except BaseException as e:  # re-raised at the next join
+                errbox.append(e)
+
+        thread = threading.Thread(
+            target=guarded, name="mpreid-ckpt-writer", daemon=False
+        )
+        thread.start()
+        _PENDING_SAVE.append((thread, path, errbox))
+    else:
+        write()
 
 
 def is_torch_weight(path: str) -> bool:
@@ -169,6 +217,7 @@ def load_checkpoint(path: str, cfg: Any = None) -> dict:
     steps — do not keep reading the returned dict after stepping a state
     built from it.
     """
+    wait_for_pending_saves()  # the path may still be mid-write
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(path))
     check_attn_storage(restored, cfg, source=path)
@@ -192,6 +241,7 @@ def load_weights(path: str, variables: dict, cfg: Any = None) -> dict:
     Arrays are matched by tree position; missing collections are kept from
     the input tree.
     """
+    wait_for_pending_saves()  # the path may still be mid-write
     restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
     check_attn_storage(restored, cfg, source=path)
     restored = _device_put_tree(restored)

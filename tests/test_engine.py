@@ -254,6 +254,45 @@ def test_checkpoint_roundtrip(tmp_path, market_env):
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
 
 
+def test_checkpoint_async_roundtrip_and_error(tmp_path, market_env):
+    """TPU.ASYNC_CHECKPOINT: the background write round-trips identically,
+    loads wait for in-flight writes, and write failures surface at
+    wait_for_pending_saves (not silently on a daemon thread)."""
+    import pytest
+
+    from mpreid_tpu.engine import initial_state
+    from mpreid_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint, wait_for_pending_saves,
+    )
+    from mpreid_tpu.solver import make_optimizer
+
+    cfg, _loaders = market_env
+    cfg = cfg.clone()
+    cfg.TPU.ASYNC_CHECKPOINT = True
+    model, variables = tiny_model(cfg, num_classes=4)
+    opt = make_optimizer(cfg.SOLVER, variables["params"], stage="baseline")
+    state = initial_state(variables, opt)
+    snap = [np.asarray(l) for l in jax.tree_util.tree_leaves(state.params)]
+
+    save_checkpoint(str(tmp_path / "ckpt_async"), state, epoch=3, cfg=cfg)
+    # load_checkpoint must join the writer before reading the path
+    restored = load_checkpoint(str(tmp_path / "ckpt_async"))
+    assert int(restored["epoch"]) == 3
+    got = [np.asarray(l) for l in jax.tree_util.tree_leaves(restored["params"])]
+    assert len(snap) == len(got)
+    for a, b in zip(snap, got):
+        np.testing.assert_array_equal(a, b)
+    wait_for_pending_saves()  # idempotent when nothing is pending
+
+    # failure propagation: an unwritable destination (a path under a FILE)
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    save_checkpoint(str(blocker / "ckpt"), state, epoch=4, cfg=cfg)
+    with pytest.raises(RuntimeError, match="async checkpoint write"):
+        wait_for_pending_saves()
+    wait_for_pending_saves()  # the failed slot is consumed
+
+
 def test_stage2_device_dataset_mode(mmmp_env):
     """Stage-2 fine-tune with TPU.DEVICE_DATASET runs end-to-end and learns."""
     cfg, (tl2, tl1, val, num_query, num_classes, cams, views) = mmmp_env
