@@ -508,8 +508,212 @@ def main(smoke: bool = False):
 
     rerank_seconds = _guard("rerank", _sec_rerank)
 
-    # ---- MFU: analytic model FLOPs vs the silicon ----
+    # ---- MSMT17-scale re-ranking (sparse-V path, beyond dense HBM) ----
+    # N≈94k: the dense path needs several 35 GB matrices and cannot run on
+    # a 16 GB chip; the sparse path (ops/reranking_sparse.py) holds O(N·W).
+    # Quantized MXU min-sum for the full (Q, G) matrix, then 3 sampled query
+    # rows recomputed with the EXACT sparse min-sum as the on-chip oracle
+    # (the NumPy oracle is O(N²) memory and cannot run at this scale either).
+    from mpreid_tpu.ops.reranking_sparse import (
+        re_ranking_sparse, re_ranking_sparse_rows,
+    )
+
+    def _sec_msmt_rerank():
+        Q, G, D = (24, 100, 16) if smoke else (11659, 82161, 512)
+        n_ids = 8 if smoke else 3000
+        kw = dict(k1=50, k2=15)
+        if smoke:
+            kw = dict(k1=10, k2=4, block=32, g_chunk=32)
+        centers = rng.randn(n_ids, D).astype(np.float32)
+        qf = jnp.asarray(
+            (centers[rng.randint(0, n_ids, Q)]
+             + rng.randn(Q, D) * 0.7).astype(np.float32)
+        )
+        gf = jnp.asarray(
+            (centers[rng.randint(0, n_ids, G)]
+             + rng.randn(G, D) * 0.7).astype(np.float32)
+        )
+        d = re_ranking_sparse(qf, gf, minsum="quantized", **kw)
+        _ = float(jnp.sum(d))  # compile + run
+        t0 = time.perf_counter()
+        d = re_ranking_sparse(qf, gf, minsum="quantized", **kw)
+        _ = float(jnp.sum(d))  # one timed window: a full run is minutes
+        dt = time.perf_counter() - t0
+        rows = np.asarray([0, Q // 2, Q - 1], np.int32)
+        d_rows = np.asarray(d[jnp.asarray(rows)])
+        del d  # free the (Q, G) matrix before the oracle's construction
+        exact_rows = np.asarray(re_ranking_sparse_rows(
+            qf, gf, jnp.asarray(rows), **kw
+        ))
+        err = float(np.max(np.abs(d_rows - exact_rows)))
+        return dt, err
+
+    msmt = _guard("msmt_rerank", _sec_msmt_rerank)
+    msmt_rerank_seconds, msmt_rerank_err = msmt if msmt else (None, None)
+
+    # ---- TTA / TTPT eval modes (the reference's most expensive eval path,
+    # ref processor_uniprompt_stage2.py:269-693 — never TPU-timed before r4)
+    def _sec_tta():
+        tta_run = benchkit.make_tta_scan(
+            cfg, model, state.params, state.batch_stats,
+            batch=eval_batch, iters=max(2, eval_iters // 4),
+        )
+        dt = benchkit.best_of(benchkit.timed(tta_run), windows=2)
+        return max(2, eval_iters // 4) * eval_batch / dt
+
+    tta_feats_per_sec = _guard("tta_scan", _sec_tta)
+
+    def _sec_ttpt():
+        # per-query-batch prompt tuning: STEPS entropy-min AdamW updates on
+        # ctx_generic, each step a full text-tower fwd+bwd over all classes
+        # (engine/ttpt.py::_make_ttpt_tuner; STEPS=4 per VERDICT task #6)
+        from mpreid_tpu.engine.ttpt import _make_ttpt_tuner
+
+        saved_steps = cfg.TEST.TTPT.STEPS
+        cfg.TEST.TTPT.STEPS = 2 if smoke else 4
+        try:
+            tuner = _make_ttpt_tuner(model, cfg, num_classes)
+            qb = eval_batch
+            agg = rng.randn(qb, embed_dim).astype(np.float32)
+            agg = jnp.asarray(agg / np.linalg.norm(agg, axis=1, keepdims=True))
+            tf, ent = tuner(state.params, state.batch_stats, agg)
+            _ = float(jnp.sum(tf))  # compile
+            dts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                # data dependency between calls — the remote runtime must
+                # not dedupe/cache identical executions
+                tf, ent = tuner(
+                    state.params, state.batch_stats,
+                    agg + 1e-6 * jnp.mean(tf),
+                )
+                _ = float(jnp.sum(tf)) + float(jnp.sum(ent))
+                dts.append(time.perf_counter() - t0)
+            return qb / min(dts)
+        finally:
+            cfg.TEST.TTPT.STEPS = saved_steps
+
+    ttpt_queries_per_sec = _guard("ttpt_tuner", _sec_ttpt)
+
+    # ---- end-to-end Uni-Prompt pipeline wall-clock ----
+    # ONE orchestrated train_uniprompt.py run (synthetic MMMP, 1 epoch per
+    # stage, MoE switch on, DEVICE_DATASET, final inference with
+    # re-ranking) — the single artifact proving the whole product runs on
+    # silicon, compiles included (ref train_uniprompt.py:81-215). Runs
+    # LAST: the big bench states are freed first so the pipeline owns HBM.
     fwd_flops = vit_flops_per_image(model.clip_config, num_classes)
+    del h1a, h2, bank, bank_labels, optimizer, fresh
+    state = None
+    variables = None
+
+    def _sec_pipeline():
+        import os
+        import re
+        import shutil
+        import tempfile
+
+        import train_uniprompt as tu
+        from mpreid_tpu.data.synthetic import make_mmmp
+
+        tmp = tempfile.mkdtemp(prefix="bench_uniprompt_")
+        data_root = os.path.join(tmp, "mmmp")
+        out_dir = os.path.join(tmp, "out")
+        make_mmmp(
+            data_root, exp_settings=("exp_cctv_ir_cctv_rgb",),
+            n_train_ids=3 if smoke else 16,
+            n_test_ids=2 if smoke else 4,
+            imgs_per_cam=2,
+        )
+        overrides = [
+            "DATASETS.ROOT_DIR", data_root,
+            "OUTPUT_DIR", out_dir,
+            "MODEL.PRETRAIN_PATH", "",
+            "MODEL.PRETRAIN_AUTO", "False",
+            "MODEL.MOE.ENABLED", "True",
+            "MODEL.MOE.NUM_EXPERTS", "4",
+            "MODEL.MOE.TOP_K", "2",
+            "MODEL.MOE.MOE_LAYERS", "2",
+            "SOLVER.STAGE1A.MAX_EPOCHS", "1",
+            "SOLVER.STAGE1A.CHECKPOINT_PERIOD", "5",
+            "SOLVER.STAGE1B.MAX_EPOCHS", "1",
+            "SOLVER.STAGE1B.CHECKPOINT_PERIOD", "5",
+            "SOLVER.STAGE2.MAX_EPOCHS", "1",
+            "SOLVER.STAGE2.CHECKPOINT_PERIOD", "5",
+            "SOLVER.STAGE2.EVAL_PERIOD", "5",
+            "TEST.RE_RANKING", "True",
+            "TPU.DEVICE_DATASET", "True",
+            "DATALOADER.NUM_WORKERS", "2",
+        ]
+        if smoke:
+            overrides += [
+                "MODEL.DEBUG_TINY", "True", "MODEL.DEVICE", "cpu",
+                "INPUT.SIZE_TRAIN", "[64,32]", "INPUT.SIZE_TEST", "[64,32]",
+            ]
+        old_argv = sys.argv
+        sys.argv = [
+            "train_uniprompt.py",
+            "--config_file", "configs/ours/cctv_ir_cctv_rgb.yml",
+        ] + overrides
+        try:
+            t0 = time.perf_counter()
+            tu.main()
+            total = time.perf_counter() - t0
+        finally:
+            sys.argv = old_argv
+
+        # per-stage breakdown from the run's own log timestamps
+        breakdown = None
+        try:
+            log_path = os.path.join(
+                out_dir, "exp_cctv_ir_cctv_rgb", "train_log.txt"
+            )
+            stamps = {}
+            markers = [
+                ("stage1a", "starting Stage 1a"),
+                ("stage1b", "starting Stage 1b"),
+                ("stage2a", "2a stage"),
+                ("stage2b", "2b stage"),
+                ("inference", "Enter inferencing"),
+            ]
+            ts_re = re.compile(r"^(\d{4}-\d{2}-\d{2} [\d:,.]+)")
+            import datetime as _dt
+
+            def parse(ts):
+                ts = ts.replace(",", ".")
+                return _dt.datetime.strptime(ts, "%Y-%m-%d %H:%M:%S.%f")
+
+            first_ts = last_ts = None
+            with open(log_path) as f:
+                for line in f:
+                    m = ts_re.match(line)
+                    if m:
+                        last_ts = parse(m.group(1))
+                        first_ts = first_ts or last_ts
+                    for key, marker in markers:
+                        if marker in line and key not in stamps and last_ts:
+                            stamps[key] = last_ts
+            if len(stamps) == len(markers) and first_ts and last_ts:
+                order = [k for k, _ in markers]
+                breakdown = {
+                    "setup": round(
+                        (stamps["stage1a"] - first_ts).total_seconds(), 1
+                    )
+                }
+                for a, b in zip(order, order[1:]):
+                    breakdown[a] = round(
+                        (stamps[b] - stamps[a]).total_seconds(), 1
+                    )
+                breakdown["inference"] = round(
+                    (last_ts - stamps["inference"]).total_seconds(), 1
+                )
+        except Exception as e:  # noqa: BLE001 — breakdown is best-effort
+            print(f"bench pipeline breakdown parse failed: {e}",
+                  file=sys.stderr)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return total, breakdown
+
+    pipe = _guard("uniprompt_pipeline", _sec_pipeline)
+    pipeline_seconds, pipeline_breakdown = pipe if pipe else (None, None)
     stage2_achieved_tflops = (
         3.0 * fwd_flops * stage2_img_per_sec / 1e12
         if stage2_img_per_sec is not None else None
@@ -571,6 +775,19 @@ def main(smoke: bool = False):
             REFERENCE_RERANK_SECONDS / rerank_seconds
             if rerank_seconds else None
         ),
+        # sparse-V path at MSMT17 corpus scale (N≈94k) — impossible for the
+        # dense path (35 GB/matrix) AND for the reference's NumPy (same N²)
+        "msmt_scale_rerank_seconds": _r(msmt_rerank_seconds, 4 if smoke else 1),
+        "msmt_rerank_sampled_rows_max_err_vs_exact": _r(
+            msmt_rerank_err, 4
+        ),
+        "tta_feats_per_sec": _r(tta_feats_per_sec),
+        "ttpt_queries_per_sec": _r(ttpt_queries_per_sec, 4 if smoke else 1),
+        # end-to-end train_uniprompt.py (4 stages + MoE switch + final
+        # inference with re-ranking), compiles included; breakdown from the
+        # run's own log timestamps
+        "uniprompt_pipeline_seconds": _r(pipeline_seconds),
+        "uniprompt_pipeline_breakdown": pipeline_breakdown,
         "model_fwd_gflops_per_img": round(fwd_flops / 1e9, 2),
         "stage2_achieved_tflops": _r(stage2_achieved_tflops, 2),
         "eval_achieved_tflops": _r(eval_achieved_tflops, 2),

@@ -46,6 +46,10 @@ def _stage_solver() -> CN:
     # (halves optimizer-state HBM traffic — the Adam update is HBM-bound on
     # TPU; moment math still accumulates fp32, see solver/optim.py)
     s.MOMENT_DTYPE = "float32"
+    # Fused Pallas Adam/AdamW update for large leaves (ops/adam_kernel.py);
+    # auto-disabled off-TPU and for multi-device programs (GSPMD cannot
+    # partition the custom call). Identical math to the XLA path.
+    s.FUSED_ADAM = True
     return s
 
 
@@ -176,6 +180,8 @@ def get_default_cfg() -> CN:
     _C.SOLVER.IMS_PER_BATCH = 64
     # Moment storage dtype (see _stage_solver.MOMENT_DTYPE)
     _C.SOLVER.MOMENT_DTYPE = "float32"
+    # Fused Pallas Adam update (see _stage_solver.FUSED_ADAM)
+    _C.SOLVER.FUSED_ADAM = True
     # Per-stage blocks (Uni-Prompt pipeline)
     _C.SOLVER.STAGE1 = _stage_solver()
     _C.SOLVER.STAGE1A = _stage_solver()
@@ -207,6 +213,11 @@ def get_default_cfg() -> CN:
     _C.TEST.RE_RANKING = False
     # MXU-quantized Jaccard min-sum for large galleries (ops/reranking.py)
     _C.TEST.RERANK_FAST = False
+    # Corpus size (Q+G) above which re-ranking switches to the sparse-V
+    # path (ops/reranking_sparse.py) — the dense path materializes several
+    # N² fp32 matrices and cannot exceed ~25k rows on a 16 GB chip; the
+    # sparse path holds O(N·W) and scales to MSMT17-size galleries.
+    _C.TEST.RERANK_SPARSE_N = 25000
     _C.TEST.WEIGHT = ""
     _C.TEST.NECK_FEAT = "after"
     _C.TEST.FEAT_NORM = "yes"

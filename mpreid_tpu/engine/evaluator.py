@@ -34,6 +34,7 @@ class R1mAPEvaluator:
         rerank_k2: int = 15,
         rerank_lambda: float = 0.3,
         rerank_fast: bool = False,
+        rerank_sparse_n: int = 25000,
         dist_metric: str = "euclidean",
     ):
         self.num_query = num_query
@@ -43,6 +44,7 @@ class R1mAPEvaluator:
         self.camera_filter = camera_filter
         self.rerank_params = (rerank_k1, rerank_k2, rerank_lambda)
         self.rerank_fast = rerank_fast
+        self.rerank_sparse_n = rerank_sparse_n
         if dist_metric not in ("euclidean", "cosine"):
             raise ValueError(
                 f"Unknown dist_metric {dist_metric!r}; expected 'euclidean' or 'cosine'"
@@ -83,8 +85,19 @@ class R1mAPEvaluator:
 
         if self.reranking:
             k1, k2, lam = self.rerank_params
-            distmat = re_ranking(qf, gf, k1=k1, k2=k2, lambda_value=lam,
-                                 fast_minsum=self.rerank_fast)
+            n = qf.shape[0] + gf.shape[0]
+            if n > self.rerank_sparse_n:
+                # beyond-HBM corpus (e.g. MSMT17, N≈94k): sparse-V path,
+                # MXU-quantized min-sum (ops/reranking_sparse.py)
+                from mpreid_tpu.ops.reranking_sparse import re_ranking_sparse
+
+                distmat = re_ranking_sparse(
+                    qf, gf, k1=k1, k2=k2, lambda_value=lam,
+                    minsum="quantized",
+                )
+            else:
+                distmat = re_ranking(qf, gf, k1=k1, k2=k2, lambda_value=lam,
+                                     fast_minsum=self.rerank_fast)
         elif self.dist_metric == "cosine":
             distmat = cosine_distmat(qf, gf)
         else:

@@ -49,6 +49,7 @@ def run_validation(cfg, model, params, batch_stats, val_loader, num_query,
         reranking=cfg.TEST.RE_RANKING,
         camera_filter=cfg.TEST.CAMERA_FILTER,
         rerank_fast=getattr(cfg.TEST, "RERANK_FAST", False),
+        rerank_sparse_n=getattr(cfg.TEST, "RERANK_SPARSE_N", 25000),
         dist_metric=getattr(cfg.TEST, "DIST_METRIC", "euclidean"),
     )
     eval_step = _cached_eval_step(model, cfg)

@@ -39,6 +39,53 @@ from .pallas_kernels import _on_tpu
 
 
 # ---------------------------------------------------------------------------
+# TP-towers interlock
+#
+# Under TPU.TP_TOWERS the tower in_proj/out_proj weights are Megatron-sharded
+# over the 'model' mesh axis (parallel/mesh.py::param_spec), so the QKV
+# activation arrives sharded along its head axis. GSPMD can split the XLA
+# einsum attention over heads, but it CANNOT partition the Pallas custom
+# call — on real multi-chip hardware the fused kernel would force an
+# all-gather of the sharded activation (or fail to lower). The selection
+# below therefore consults a process-wide flag that
+# ``parallel.mesh.shard_variables(..., tp_towers=True)`` — the single choke
+# point where tower params become 'model'-sharded — flips on: with TP-towers
+# active the auto selection is the partitionable XLA path everywhere,
+# INCLUDING on TPU, so CPU-mesh tests and ``dryrun_multichip`` exercise the
+# exact code path a real multi-chip TP run takes.
+# ---------------------------------------------------------------------------
+
+_TP_SHARDED_TOWERS = False
+
+
+def set_tp_sharded_towers(active: bool) -> None:
+    """Record that tower params are (or are no longer) 'model'-sharded.
+
+    Called by ``parallel.mesh.shard_variables`` with ``tp_towers=True``;
+    tests may call it directly to reset. Must be set BEFORE the step is
+    traced — the selection is a trace-time decision.
+    """
+    global _TP_SHARDED_TOWERS
+    _TP_SHARDED_TOWERS = bool(active)
+
+
+def tp_sharded_towers() -> bool:
+    return _TP_SHARDED_TOWERS
+
+
+def _auto_impl() -> str:
+    """Trace-time impl selection for ``force=None``.
+
+    Pallas on TPU (in-model win, see fused_attention_hm note) — unless the
+    towers are tensor-parallel, in which case the head axis is 'model'-
+    sharded and only the XLA einsum path is GSPMD-partitionable.
+    """
+    if _TP_SHARDED_TOWERS:
+        return "xla"
+    return "pallas" if _on_tpu() else "xla"
+
+
+# ---------------------------------------------------------------------------
 # XLA reference path (CPU fallback + autodiff oracle)
 # ---------------------------------------------------------------------------
 
@@ -524,8 +571,10 @@ def fused_attention_hm(
         # but IN-MODEL (tools/bench_stages_ab.py, stage-1a epoch) the
         # Pallas path wins by ~8%: the einsum path's head transposes and
         # fp32 score copies reappear once XLA schedules them against the
-        # rest of the step. Pallas everywhere on TPU.
-        force = "pallas" if _on_tpu() else "xla"
+        # rest of the step. Pallas everywhere on TPU — except under
+        # TP-towers, where only the XLA path is GSPMD-partitionable
+        # (see _auto_impl).
+        force = _auto_impl()
     if force == "xla":
         return mha_reference_hm(qkv, num_heads, mask)
     return _fused_mha_hm(qkv, mask, num_heads, force == "interpret")
@@ -551,7 +600,7 @@ def fused_attention(
     if mask is not None:
         mask = jax.lax.stop_gradient(mask)
     if force is None:
-        force = "pallas" if _on_tpu() else "xla"
+        force = _auto_impl()
     if force == "xla":
         return mha_reference(qkv, num_heads, mask)
     return _fused_mha(qkv, mask, num_heads, force == "interpret")

@@ -229,3 +229,84 @@ def l1_cross(vq: jax.Array, vg: jax.Array) -> jax.Array:
     from .reranking import _l1_cross as xla_l1
 
     return xla_l1(vq, vg)
+
+
+# ---------------------------------------------------------------------------
+# tiled elementwise min-sum (sparse-V re-ranking Jaccard)
+# ---------------------------------------------------------------------------
+#
+# Same tiling as the L1 kernel with Σ|a−b| replaced by Σ min(a,b). The
+# sparse re-ranking path (ops/reranking_sparse.py) computes the min-sum
+# directly because its truncated rows need not sum to 1, breaking the
+# minsum = 1 − L1/2 identity the dense path uses.
+
+def _minsum_kernel(a_ref, b_ref, out_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    b = b_ref[:].astype(jnp.float32)   # (TG, KC)
+    tq = a_ref.shape[0]
+
+    def row(i, carry):
+        a_row = a_ref[pl.ds(i, 1), :].astype(jnp.float32)        # (1, KC)
+        ms = jnp.sum(jnp.minimum(a_row, b), axis=1)               # (TG,)
+        out_ref[pl.ds(i, 1), :] += ms[None, :]
+        return carry
+
+    jax.lax.fori_loop(0, tq, row, 0)
+
+
+def minsum_cross_pallas(
+    vq: jax.Array,
+    vg: jax.Array,
+    tile_q: int = 128,
+    tile_g: int = 128,
+    chunk_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pairwise Σₖ min(vqᵢₖ, vgⱼₖ) between rows of vq (Q,N) and vg (G,N)."""
+    q, n = vq.shape
+    g = vg.shape[0]
+    qp, gp, np_ = _round_up(q, tile_q), _round_up(g, tile_g), _round_up(n, chunk_k)
+    vq_p = jnp.pad(vq, ((0, qp - q), (0, np_ - n)))
+    vg_p = jnp.pad(vg, ((0, gp - g), (0, np_ - n)))
+
+    grid = (qp // tile_q, gp // tile_g, np_ // chunk_k)
+    out = pl.pallas_call(
+        _minsum_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_q, chunk_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_g, chunk_k), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_q, tile_g), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, gp), jnp.float32),
+        interpret=interpret,
+    )(vq_p, vg_p)
+    return out[:q, :g]
+
+
+def _minsum_cross_xla(vq: jax.Array, vg: jax.Array, chunk: int = 128) -> jax.Array:
+    q = vq.shape[0]
+    pad = (-q) % chunk
+    vq_p = jnp.pad(vq, ((0, pad), (0, 0)))
+    blocks = vq_p.reshape(-1, chunk, vq.shape[1])
+
+    def one(block):
+        return jnp.sum(jnp.minimum(block[:, None, :], vg[None, :, :]), axis=-1)
+
+    out = jax.lax.map(one, blocks)
+    return out.reshape(-1, vg.shape[0])[:q]
+
+
+def minsum_cross(vq: jax.Array, vg: jax.Array) -> jax.Array:
+    """Dispatch: Pallas on TPU, chunked XLA elsewhere."""
+    if _on_tpu():
+        return minsum_cross_pallas(vq, vg)
+    return _minsum_cross_xla(vq, vg)

@@ -113,7 +113,21 @@ def param_spec(path: str, tp_towers: bool = False) -> P:
 
 
 def shard_variables(variables: Any, mesh: Mesh, tp_towers: bool = False) -> Any:
-    """Place a variable tree on the mesh per ``param_spec``."""
+    """Place a variable tree on the mesh per ``param_spec``.
+
+    With ``tp_towers`` this also arms the attention TP interlock
+    (``ops.attention.set_tp_sharded_towers``): the Pallas fused-MHA custom
+    call is not GSPMD-partitionable over the now-'model'-sharded head axis,
+    so every subsequent ``force=None`` attention call auto-selects the XLA
+    einsum path — on TPU and CPU alike. The flag is sticky by design: a
+    later non-TP ``shard_variables`` call (e.g. eval placement in the same
+    session) must not re-enable the fused kernel while TP-sharded params
+    are still live. Tests reset via ``set_tp_sharded_towers(False)``.
+    """
+    if tp_towers:
+        from mpreid_tpu.ops.attention import set_tp_sharded_towers
+
+        set_tp_sharded_towers(True)
     from mpreid_tpu.solver.optim import path_strings
 
     def place(subtree):

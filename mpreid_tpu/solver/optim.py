@@ -178,6 +178,12 @@ class Optimizer:
                 f"MOMENT_DTYPE must be 'float32' or 'bfloat16', got {md!r}"
             )
         self.moment_dtype = jnp.bfloat16 if md == "bfloat16" else jnp.float32
+        # Fused Pallas param+moment update for large Adam/AdamW leaves —
+        # HBM-bound lane of the stage-2 step (ops/adam_kernel.py). Single
+        # REAL device only: GSPMD cannot partition the custom call, so any
+        # multi-device program (DP/ZeRO/TP — sharded moments) takes the XLA
+        # path automatically.
+        self.fused_adam = bool(getattr(stage_cfg, "FUSED_ADAM", True))
         self.trainable = (
             trainable if trainable is not None else stage_trainable(params, stage)
         )
@@ -215,19 +221,26 @@ class Optimizer:
             nu=jax.tree_util.tree_map(zeros, train),
         )
 
+    def _fused_active(self) -> bool:
+        """Fused kernel only for single-real-device TPU programs (trace-time
+        decision; CPU meshes / multi-chip always take the XLA path)."""
+        if not self.fused_adam:
+            return False
+        from mpreid_tpu.ops.pallas_kernels import _on_tpu
+
+        return _on_tpu() and jax.device_count() == 1
+
     def update(self, grads: Dict, state: OptState, train: Dict, lr
                ) -> Tuple[Dict, OptState]:
         t = state.step + 1
         decoupled = self.name == "AdamW"
+        md = self.moment_dtype
 
-        if not decoupled:
-            # coupled L2 (torch Adam/SGD semantics)
+        if self.name == "SGD":
+            # coupled L2 (torch SGD semantics)
             grads = jax.tree_util.tree_map(
                 lambda g, p, w: g + w * p, grads, train, self.wd
             )
-
-        md = self.moment_dtype
-        if self.name == "SGD":
             # moment math in fp32, storage in moment_dtype (no-op for fp32)
             mu32 = jax.tree_util.tree_map(
                 lambda b, g: self.momentum * b.astype(jnp.float32) + g,
@@ -236,36 +249,48 @@ class Optimizer:
             steps = jax.tree_util.tree_map(lambda b, m: lr * m * b, mu32, self.lr_mult)
             mu = jax.tree_util.tree_map(lambda m: m.astype(md), mu32)
             nu = state.nu
-        elif self.name in ("Adam", "AdamW"):
-            mu32 = jax.tree_util.tree_map(
-                lambda m, g: self.b1 * m.astype(jnp.float32) + (1 - self.b1) * g,
-                state.mu, grads,
-            )
-            nu32 = jax.tree_util.tree_map(
-                lambda v, g: self.b2 * v.astype(jnp.float32)
-                + (1 - self.b2) * jnp.square(g),
-                state.nu, grads,
-            )
-            bc1 = 1 - self.b1 ** t.astype(jnp.float32)
-            bc2 = 1 - self.b2 ** t.astype(jnp.float32)
+            new_train = jax.tree_util.tree_map(lambda p, s: p - s, train, steps)
+            return new_train, OptState(step=t, mu=mu, nu=nu)
 
-            def adam_step(m, v, mult):
-                return lr * mult * (m / bc1) / (jnp.sqrt(v / bc2) + self.eps)
-
-            # the step uses the fresh fp32 moments (pre-rounding)
-            steps = jax.tree_util.tree_map(adam_step, mu32, nu32, self.lr_mult)
-            mu = jax.tree_util.tree_map(lambda m: m.astype(md), mu32)
-            nu = jax.tree_util.tree_map(lambda v: v.astype(md), nu32)
-            if decoupled:
-                # torch AdamW decays with the per-group lr (lr * multiplier)
-                steps = jax.tree_util.tree_map(
-                    lambda s, p, w, m: s + lr * m * w * p,
-                    steps, train, self.wd, self.lr_mult,
-                )
-        else:
+        if self.name not in ("Adam", "AdamW"):
             raise ValueError(f"Unsupported optimizer {self.name!r}")
 
-        new_train = jax.tree_util.tree_map(lambda p, s: p - s, train, steps)
+        bc1 = 1 - self.b1 ** t.astype(jnp.float32)
+        bc2 = 1 - self.b2 ** t.astype(jnp.float32)
+        use_fused = self._fused_active()
+        if use_fused:
+            from mpreid_tpu.ops.adam_kernel import (
+                MIN_FUSED_SIZE, fused_adam_leaf,
+            )
+
+        new_train, mu, nu = {}, {}, {}
+        for k, p in train.items():
+            g, w, mult = grads[k], self.wd[k], self.lr_mult[k]
+            m0, v0 = state.mu[k], state.nu[k]
+            if use_fused and p.size >= MIN_FUSED_SIZE:
+                scalars = jnp.stack(
+                    [jnp.asarray(lr * mult, jnp.float32), bc1, bc2]
+                )
+                p1, m1, v1 = fused_adam_leaf(
+                    p, m0, v0, g, scalars, self.b1, self.b2, self.eps,
+                    w, decoupled, md,
+                )
+                new_train[k], mu[k], nu[k] = p1, m1, v1
+                continue
+            # XLA path — identical math, per leaf
+            if not decoupled:
+                g = g + w * p          # coupled L2 (torch Adam)
+            m32 = self.b1 * m0.astype(jnp.float32) + (1 - self.b1) * g
+            v32 = (self.b2 * v0.astype(jnp.float32)
+                   + (1 - self.b2) * jnp.square(g))
+            # the step uses the fresh fp32 moments (pre-rounding)
+            step = lr * mult * (m32 / bc1) / (jnp.sqrt(v32 / bc2) + self.eps)
+            if decoupled:
+                # torch AdamW decays with the per-group lr (lr * multiplier)
+                step = step + lr * mult * w * p
+            new_train[k] = p - step
+            mu[k] = m32.astype(md)
+            nu[k] = v32.astype(md)
         return new_train, OptState(step=t, mu=mu, nu=nu)
 
 

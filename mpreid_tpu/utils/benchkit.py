@@ -139,6 +139,52 @@ def make_eval_scan(cfg, model, params, batch_stats,
     return run
 
 
+def make_tta_scan(cfg, model, params, batch_stats,
+                  batch: int = 128, iters: int = 10,
+                  rng: Optional[np.random.RandomState] = None
+                  ) -> Callable[[], float]:
+    """``run() -> float``: TTA query-feature windows — per image the mean
+    feature over {original, h-flip, pseudo-IR, pseudo-RGB} views
+    (engine/ttpt.py::do_inference_tta, ref
+    processor_uniprompt_stage2.py:607-650). Same scan/data-dependency
+    hygiene as ``make_eval_scan``; ~4× its per-image cost."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpreid_tpu.ops.augment import eval_preprocess
+
+    rng = rng if rng is not None else np.random.RandomState(0)
+    h, w = cfg.INPUT.SIZE_TEST
+    images = jnp.asarray(rng.randint(0, 255, (batch, h, w, 3), dtype=np.uint8))
+    mean, std = tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def tta_bench(params, batch_stats, images_u8, n):
+        def fwd(x):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+
+        def body(carry, _):
+            x = eval_preprocess(images_u8 + carry, mean=mean, std=std)
+            views = [x, x[:, :, ::-1, :]]
+            gray = jnp.mean(x, axis=-1, keepdims=True)
+            views.append(jnp.broadcast_to(gray, x.shape))       # pseudo-IR
+            views.append(jnp.broadcast_to(x[..., 0:1], x.shape))  # pseudo-RGB
+            f = jnp.mean(jnp.stack([fwd(v) for v in views]), axis=0)
+            f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
+            s = jnp.sum(f.astype(jnp.float32))
+            return (s > 1e30).astype(jnp.uint8), s
+
+        carry, sums = jax.lax.scan(body, jnp.zeros((), jnp.uint8), None, length=n)
+        return jnp.sum(sums)
+
+    def run() -> float:
+        return float(tta_bench(params, batch_stats, images, iters))
+
+    return run
+
+
 # ---------------------------------------------------------------------------
 # stage-1 prompt-training epoch scan
 # ---------------------------------------------------------------------------

