@@ -46,10 +46,16 @@ def _stage_solver() -> CN:
     # (halves optimizer-state HBM traffic — the Adam update is HBM-bound on
     # TPU; moment math still accumulates fp32, see solver/optim.py)
     s.MOMENT_DTYPE = "float32"
-    # Fused Pallas Adam/AdamW update for large leaves (ops/adam_kernel.py);
-    # auto-disabled off-TPU and for multi-device programs (GSPMD cannot
-    # partition the custom call). Identical math to the XLA path.
-    s.FUSED_ADAM = True
+    # Fused Pallas Adam/AdamW update for large leaves (ops/adam_kernel.py).
+    # MEASURED DEAD END on the v5e (tools/bench_adam_ab.py, round 4): the
+    # XLA loop-fusion update already streams p/m/v/g at ~690 GB/s isolated
+    # (3.5 ms for the 87M stage-2 trainables) while the Pallas kernel reads
+    # 238 GB/s (10.2 ms) — the round-3 in-step 513 GB/s attribution was
+    # scheduling overlap, not an implementation gap. Off by default; the
+    # kernel + equivalence tests remain for future tuning. Auto-disabled
+    # off-TPU and for multi-device programs regardless (GSPMD cannot
+    # partition the custom call).
+    s.FUSED_ADAM = False
     return s
 
 
@@ -180,8 +186,9 @@ def get_default_cfg() -> CN:
     _C.SOLVER.IMS_PER_BATCH = 64
     # Moment storage dtype (see _stage_solver.MOMENT_DTYPE)
     _C.SOLVER.MOMENT_DTYPE = "float32"
-    # Fused Pallas Adam update (see _stage_solver.FUSED_ADAM)
-    _C.SOLVER.FUSED_ADAM = True
+    # Fused Pallas Adam update (see _stage_solver.FUSED_ADAM — measured
+    # slower than XLA's own loop fusion on the v5e; off by default)
+    _C.SOLVER.FUSED_ADAM = False
     # Per-stage blocks (Uni-Prompt pipeline)
     _C.SOLVER.STAGE1 = _stage_solver()
     _C.SOLVER.STAGE1A = _stage_solver()

@@ -16,11 +16,82 @@ All matmuls request fp32 MXU accumulation via ``preferred_element_type``.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+
+# ---------------------------------------------------------------------------
+# linear + bias + cast with an MXU bias-gradient
+#
+# XLA lowers the bias gradient of y = x@W + b to a convert+reduce over the
+# (B·L, D) cotangent — measured at only 175-374 GB/s on the v5e (round-4
+# micro-bench, ~3.7 ms of the 35.4 ms stage-2 step across all 48 bias
+# reductions). The same contraction as a (8, B·L) @ (B·L, D) matmul rides
+# the MXU at 664-938 GB/s (qkv 112→57 µs, c_fc 136→54 µs). This custom VJP
+# keeps the forward bitwise-identical (fp32-accumulated dot + fp32 bias,
+# then cast) and swaps only db's reduction for the dot form; dx/dW match
+# autodiff's math exactly.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _linear_bias_act(x, kernel, bias, out_dtype: str, accum_f32: bool):
+    if accum_f32:
+        # attention-projection convention: fp32 MXU accumulation + fp32
+        # bias add, then one cast (bitwise = the pre-kernel layers.py math)
+        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32) + bias
+        return y.astype(out_dtype)
+    # flax-Dense convention (MLP): everything in the activation dtype — an
+    # fp32-accumulated variant measured +4 ms/step on stage-2 (the f32
+    # (B·L, 4D) intermediates cost ~1.2 GB of extra HBM traffic)
+    return jnp.dot(x, kernel) + bias.astype(out_dtype)
+
+
+def linear_bias_act(x, kernel, bias, out_dtype, accum_f32: bool = True):
+    """(x @ kernel + bias).astype(out_dtype) with an MXU bias-grad VJP.
+
+    ``out_dtype`` is canonicalized to a string — custom_vjp static args
+    must be plain hashables, not numpy dtype objects."""
+    return _linear_bias_act(x, kernel, bias, jnp.dtype(out_dtype).name,
+                            bool(accum_f32))
+
+
+def _lba_fwd(x, kernel, bias, out_dtype, accum_f32):
+    # bias rides the residuals only to carry its dtype (residuals must be
+    # arrays); it is O(D) — negligible
+    return (_linear_bias_act(x, kernel, bias, out_dtype, accum_f32),
+            (x, kernel, bias))
+
+
+def _lba_bwd(out_dtype, accum_f32, res, dy):
+    # All contractions keep dy/x in their native (B, L, ·) shapes — a
+    # reshape(-1, d) of an L=129 tensor re-tiles T(8,128) physically
+    # (measured 3.35 ms/step of pure relayout).
+    x, kernel, bias = res
+    b_dtype = bias.dtype
+    nbatch = x.ndim - 1
+    bdims = tuple(range(nbatch))
+    dx = jax.lax.dot_general(
+        dy, kernel, (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    dw = jax.lax.dot_general(
+        x, dy, ((bdims, bdims), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(kernel.dtype)
+    # db as a matmul: 8 MXU-aligned rows of ones; row 0 is the bias grad
+    ones8 = jnp.ones((8,) + dy.shape[:-1], dy.dtype)
+    db = jax.lax.dot_general(
+        ones8, dy, ((tuple(range(1, x.ndim)), bdims), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0].astype(b_dtype)
+    return dx, dw, db
+
+
+_linear_bias_act.defvjp(_lba_fwd, _lba_bwd)
 
 
 class LayerNorm(nn.Module):
@@ -108,10 +179,7 @@ class MultiHeadAttention(nn.Module):
             in_bias = in_bias[perm]
         # "hm_native": in_proj_kernel/bias (and lora_b) are ALREADY stored in
         # head-major column order — converters permute on import/export.
-        qkv = (
-            jnp.dot(x, in_kernel.astype(self.dtype), preferred_element_type=jnp.float32)
-            + in_bias
-        ).astype(self.dtype)
+        qkv = linear_bias_act(x, in_kernel.astype(self.dtype), in_bias, self.dtype)
         if self.lora_rank > 0:
             lora_a = self.param(
                 "lora_a", nn.initializers.normal(stddev=0.02),
@@ -139,11 +207,32 @@ class MultiHeadAttention(nn.Module):
             "out_proj_kernel", nn.initializers.xavier_uniform(), (d, d), jnp.float32
         )
         out_bias = self.param("out_proj_bias", nn.initializers.zeros, (d,), jnp.float32)
-        out = (
-            jnp.dot(out, out_kernel.astype(self.dtype), preferred_element_type=jnp.float32)
-            + out_bias
-        ).astype(self.dtype)
-        return out
+        return linear_bias_act(out, out_kernel.astype(self.dtype), out_bias,
+                               self.dtype)
+
+
+class DenseLBA(nn.Module):
+    """Dense with the MXU bias-grad VJP (``linear_bias_act``).
+
+    Param names/inits match ``nn.Dense`` (kernel lecun_normal, bias zeros,
+    fp32 params) so checkpoints are layout-identical, and the forward math
+    is bitwise ``nn.Dense``'s (dot + bias in the activation dtype); only
+    the bias GRADIENT changes — a reduce measured at 175-374 GB/s becomes
+    an MXU dot (see ``linear_bias_act``)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return linear_bias_act(x, kernel.astype(self.dtype), bias, self.dtype,
+                               accum_f32=False)
 
 
 class MLP(nn.Module):
@@ -155,16 +244,10 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.Dense(
-            self.dim * self.hidden_mult,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="c_fc",
-        )(x)
+        h = DenseLBA(self.dim * self.hidden_mult, dtype=self.dtype,
+                     name="c_fc")(x)
         h = quick_gelu(h)
-        return nn.Dense(
-            self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="c_proj"
-        )(h)
+        return DenseLBA(self.dim, dtype=self.dtype, name="c_proj")(h)
 
 
 class ResidualAttentionBlock(nn.Module):

@@ -81,12 +81,18 @@ def test_fused_adam_zero_wd():
 
 def test_optimizer_fused_flag_off_on_cpu():
     """On CPU (the test host) _fused_active() must be False — the solver
-    always takes the XLA path here, and multi-device programs everywhere."""
+    always takes the XLA path here, and multi-device programs everywhere.
+    The config default is ALSO off (measured slower than XLA's loop fusion
+    on the v5e, see defaults.py FUSED_ADAM); opting in must still not
+    activate off-TPU."""
     from mpreid_tpu.solver.optim import make_optimizer
     from tiny import tiny_cfg, tiny_model
 
     cfg = tiny_cfg()
     model, variables = tiny_model(cfg, num_classes=4)
     opt = make_optimizer(cfg.SOLVER, variables["params"], stage="baseline")
-    assert opt.fused_adam  # config default on
-    assert not opt._fused_active()  # but inactive off-TPU
+    assert not opt.fused_adam  # measured dead end: default off
+    cfg.SOLVER.FUSED_ADAM = True
+    opt2 = make_optimizer(cfg.SOLVER, variables["params"], stage="baseline")
+    assert opt2.fused_adam
+    assert not opt2._fused_active()  # opt-in still inactive off-TPU
