@@ -340,6 +340,15 @@ def main(smoke: bool = False):
     # CLAUDE.md): the whole epoch is ONE compiled scan over device-resident
     # images — no per-step host dispatch. This is the headline stage-2
     # number; the per-step-dispatch figure above is reported alongside.
+    #
+    # Scan length: a real Market-scale stage-2 epoch is ~186 iterations; a
+    # 20-iter scan under-reports production throughput because the per-epoch
+    # constants (2 tunnel result fetches at ~20-40 ms each, partition/merge,
+    # dispatch) don't amortize. The xplane profile (tools/profile_stage2.py
+    # --epoch, r4) shows the scan BODY at ~34.2 ms/iter device — equal to
+    # the bare step, zero carry overhead — so we scan 100 iters (the
+    # permutation tiled over the same device-resident images, as a PK
+    # sampler revisits images across epochs) to measure the amortized rate.
     from mpreid_tpu.engine.steps import make_train_epoch
 
     def _sec_stage2_epoch():
@@ -347,13 +356,14 @@ def main(smoke: bool = False):
             model, cfg, loss_fn, opt2, uniprompt=True, text_features=text_features
         )
         n_data = s2_iters * batch
+        scan_iters = 5 * s2_iters  # 100 on the real run, 10 in smoke
         th, tw = cfg.INPUT.SIZE_TRAIN
         ds_images = jnp.asarray(
             rng.randint(0, 255, (n_data, th, tw, 3), dtype=np.uint8)
         )
         ds_pids = jnp.asarray((np.arange(n_data) // 4 % num_classes).astype(np.int32))
         ds_zeros = jnp.zeros(n_data, jnp.int32)
-        perm2 = jnp.arange(n_data).reshape(s2_iters, batch)
+        perm2 = jnp.tile(jnp.arange(n_data), 5).reshape(scan_iters, batch)
         h2e = {"state": initial_state(fresh(), opt2)}
 
         def run() -> float:
@@ -368,7 +378,7 @@ def main(smoke: bool = False):
             return time.perf_counter() - t0
 
         s2e_dt = benchkit.best_of(run, windows=2)
-        return s2_iters * batch / s2e_dt
+        return scan_iters * batch / s2e_dt
 
     # no fallback default: a failed epoch-scan section must record null, not
     # the per-step-dispatch program's number under the epoch-scan keys

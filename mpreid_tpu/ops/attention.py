@@ -312,8 +312,14 @@ _fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
 # enough for deep double-buffering under the DEFAULT VMEM limit.
 # ---------------------------------------------------------------------------
 
-_BT_HM = 32                 # batch elements per grid step
-_HG_HM = 2                  # heads per grid step (lower bound; see _pick_hg)
+# Tile knobs, split per direction so fwd/bwd tune independently (the bwd
+# holds ~3x the fwd's VMEM working set per tile). Defaults are the round-3
+# measured optimum (BT=32, HG=2); tools/bench_attn_tiles.py sweeps these
+# in-model.
+_BT_HM_FWD = 32             # batch elements per fwd grid step
+_BT_HM_BWD = 32             # batch elements per bwd grid step
+_HG_HM_FWD = 2              # heads per fwd grid step (lower bound; _pick_hg)
+_HG_HM_BWD = 2              # heads per bwd grid step (lower bound; _pick_hg)
 _HM_VMEM_LIMIT = 32 << 20   # Mosaic scoped-VMEM limit for BOTH hm kernels
 
 # Default layouts the model layers emit (models/layers.py):
@@ -479,8 +485,8 @@ def _mha_fwd_pallas_hm(qkv, mask, num_heads, interpret):
     l, dd = qkv.shape[1:]
     dh = dd // (3 * num_heads)
     use_mask = mask is not None
-    bt = min(_BT_HM, qkv.shape[0])
-    hg = _pick_hg(dh, num_heads, _HG_HM)
+    bt = min(_BT_HM_FWD, qkv.shape[0])
+    hg = _pick_hg(dh, num_heads, _HG_HM_FWD)
     qkv_p, b = _pad_batch(qkv, bt)
     kernel = functools.partial(_mha_fwd_kernel_hm, hg, dh, use_mask)
     args = (qkv_p, mask.astype(jnp.float32)) if use_mask else (qkv_p,)
@@ -505,8 +511,8 @@ def _mha_bwd_pallas_hm(qkv, mask, do, num_heads, interpret):
     l, dd = qkv.shape[1:]
     dh = dd // (3 * num_heads)
     use_mask = mask is not None
-    bt = min(_BT_HM, qkv.shape[0])
-    hg = _pick_hg(dh, num_heads, _HG_HM)
+    bt = min(_BT_HM_BWD, qkv.shape[0])
+    hg = _pick_hg(dh, num_heads, _HG_HM_BWD)
     qkv_p, b = _pad_batch(qkv, bt)
     do_p, _ = _pad_batch(do, bt)
     kernel = functools.partial(_mha_bwd_kernel_hm, hg, dh, use_mask)

@@ -78,7 +78,7 @@ def bench_case(name, b, l, d, h, use_mask, iters, which=("packed", "hm")):
         tg = timed_scan(grad_of(f), qkv, iters)
         results[label] = (tf, tg)
         print(
-            f"{name:18s} {label:7s} BT_HM={A._BT_HM:3d} HG={A._HG_HM} "
+            f"{name:18s} {label:7s} BT_HM={A._BT_HM_FWD:3d}/{A._BT_HM_BWD:3d} HG={A._HG_HM_FWD}/{A._HG_HM_BWD} "
             f"fwd {tf*1e3:7.3f} ms ({flops_fwd/tf/1e12:6.1f} TF/s)   "
             f"fwd+bwd {tg*1e3:7.3f} ms",
             flush=True,
@@ -98,10 +98,12 @@ def main():
                    which=(only,))
         return
     for bt, hg in variants:
-        A._BT_HM, A._HG_HM = bt, hg
+        A._BT_HM_FWD = A._BT_HM_BWD = bt
+        A._HG_HM_FWD = A._HG_HM_BWD = hg
         bench_case("vision B64 L129", 64, 129, 768, 12, False, iters,
                    which=("hm",))
-    A._BT_HM, A._HG_HM = 16, 2
+    A._BT_HM_FWD = A._BT_HM_BWD = 16
+    A._HG_HM_FWD = A._HG_HM_BWD = 2
     bench_case("text   B64 L77 ", 64, 77, 512, 8, True, iters, which=("hm",))
 
 
