@@ -25,10 +25,13 @@ def set_tiles(bt_fwd, hg_fwd, bt_bwd, hg_bwd, vmem=32 << 20):
 
 # (bt_fwd, hg_fwd, bt_bwd, hg_bwd, vmem_MB). Head-group picks round up via
 # _pick_hg: dh=64 needs hg even; hg must divide 12 (vision) / 8 (text).
+# Measured (r4): fwd BT=64 HG=2 needs a 37.1M scoped-vmem stack — BT=64
+# rows get 64M. A config that still OOMs prints "FAILED" and the sweep
+# continues.
 CONFIGS = [
     (32, 2, 32, 2, 32),   # round-3 default
-    (64, 2, 32, 2, 32),   # fwd whole-batch tile
-    (64, 2, 64, 2, 64),   # whole-batch both (bwd needs the bigger limit)
+    (64, 2, 32, 2, 64),   # fwd whole-batch tile
+    (64, 2, 64, 2, 64),   # whole-batch both
     (32, 4, 32, 2, 32),   # wider fwd head group
     (32, 4, 32, 4, 64),   # wider both
     (16, 4, 16, 4, 32),   # smaller batch tile, wider heads
@@ -48,17 +51,28 @@ def main():
         tag = (f"fwd BT={bt_f:2d} HG={hg_f} | bwd BT={bt_b:2d} HG={hg_b} "
                f"| vmem {vmem:2d}M")
         if what in ("stage2", "both"):
-            h = benchkit.stage2_harness(cfg, model, variables)
-            iters = 20
-            dt = benchkit.best_of(benchkit.step_window(h, iters=iters),
-                                  windows=windows)
-            ips = iters * h["batch"]["images"].shape[0] / dt
-            print(f"stage2a {tag}  {ips:7.1f} img/s", flush=True)
+            try:
+                h = benchkit.stage2_harness(cfg, model, variables)
+                iters = 20
+                dt = benchkit.best_of(benchkit.step_window(h, iters=iters),
+                                      windows=windows)
+                ips = iters * h["batch"]["images"].shape[0] / dt
+                print(f"stage2a {tag}  {ips:7.1f} img/s", flush=True)
+            except Exception as e:  # vmem OOM at big tiles — keep sweeping
+                print(f"stage2a {tag}  FAILED: {str(e)[:120]}", flush=True)
+            finally:
+                h = None  # free the donated state's HBM before the next cfg
         if what in ("stage1", "both"):
-            h = benchkit.stage1_harness(cfg, model, variables)
-            dt = benchkit.best_of(benchkit.epoch_window(h), windows=windows)
-            ips = h["iters"] * h["batch"] / dt
-            print(f"stage1a {tag}  {ips:7.1f} img/s", flush=True)
+            try:
+                h = benchkit.stage1_harness(cfg, model, variables)
+                dt = benchkit.best_of(benchkit.epoch_window(h),
+                                      windows=windows)
+                ips = h["iters"] * h["batch"] / dt
+                print(f"stage1a {tag}  {ips:7.1f} img/s", flush=True)
+            except Exception as e:
+                print(f"stage1a {tag}  FAILED: {str(e)[:120]}", flush=True)
+            finally:
+                h = None
 
 
 if __name__ == "__main__":
