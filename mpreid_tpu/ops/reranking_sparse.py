@@ -320,23 +320,31 @@ def _final_blend_chunks(vq_dense, qf32, colmax_q, gf32, idxg, valg, n,
     """The whole min-sum → Jaccard → λ-blend tail, one gallery chunk at a
     time — only ONE full (Q, G) matrix (the result) is ever resident.
 
-    At MSMT17 scale the (Q, G) result alone is 3.8 GB fp32; computing
-    min-sums, jaccard and the original distances as separate full matrices
-    would hold three of them simultaneously."""
+    At MSMT17 scale the (Q, G) result alone is 3.8 GB fp32. The r4
+    formulation (``lax.map`` over chunks + a final transpose) materialized
+    THREE near-(Q,G) buffers — the stacked map output, its transpose, and
+    the live chunk temporaries — for a ~15 GB peak that crashed the 16 GB
+    chip's worker (reproduced standalone, r5). This version writes each
+    chunk's transposed block straight into the (Q, G) result inside a
+    ``fori_loop`` (XLA aliases the carry in place). The last chunk starts
+    at ``G - g_chunk`` and OVERLAPS the previous one instead of padding:
+    the overlapping columns recompute identical values, so no padded
+    (Q, G_pad) buffer and no trailing slice-copy exist at all."""
     from .pallas_kernels import minsum_cross
 
     g = idxg.shape[0]
-    idx_p = _pad_rows(idxg, g_chunk, n)
-    val_p = _pad_rows(valg, g_chunk, 0.0)
-    chunks_i = idx_p.reshape(-1, g_chunk, idxg.shape[1])
-    chunks_v = val_p.reshape(-1, g_chunk, idxg.shape[1])
-    gf_p = _pad_rows(gf32, g_chunk, 0.0).reshape(-1, g_chunk, gf32.shape[1])
+    g_chunk = min(g_chunk, g)
+    n_chunks = _blocked(g, g_chunk)
     if minsum == "quantized":
         mids, deltas = _quantile_thresholds(sample_vals, levels=32)
     sqq = jnp.sum(qf32 * qf32, axis=1)
+    q = qf32.shape[0]
 
-    def one(args):
-        ic, vc, gfc = args
+    def body(i, out):
+        start = jnp.minimum(i * g_chunk, g - g_chunk)
+        ic = jax.lax.dynamic_slice_in_dim(idxg, start, g_chunk, 0)
+        vc = jax.lax.dynamic_slice_in_dim(valg, start, g_chunk, 0)
+        gfc = jax.lax.dynamic_slice_in_dim(gf32, start, g_chunk, 0)
         if minsum == "quantized":
             # bf16 dense halves HBM (the comparisons re-quantize to 0/1;
             # only values straddling a threshold within 1 bf16 ulp move)
@@ -349,10 +357,11 @@ def _final_blend_chunks(vq_dense, qf32, colmax_q, gf32, idxg, valg, n,
              - 2.0 * jnp.dot(gfc, qf32.T,
                              preferred_element_type=jnp.float32))
         orig = jnp.maximum(d, 0.0) / colmax_q[None, :]
-        return jac * (1 - lambda_value) + orig * lambda_value
+        blk = (jac * (1 - lambda_value) + orig * lambda_value).T  # (Q, chunk)
+        return jax.lax.dynamic_update_slice_in_dim(out, blk, start, 1)
 
-    out = jax.lax.map(one, (chunks_i, chunks_v, gf_p))
-    return out.reshape(-1, qf32.shape[0])[:g].T         # (Q, G)
+    out = jnp.zeros((q, g), jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, body, out)    # (Q, G)
 
 
 # ---------------------------------------------------------------------------
@@ -389,9 +398,26 @@ def _build_sparse_v(feat, k1, k2, half, width, width2, block):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k1", "k2", "lambda_value", "width", "width2",
-                     "minsum", "block", "g_chunk", "return_info"),
+    donate_argnums=(0,),
+    static_argnames=("num_q", "n", "g_chunk", "lambda_value", "minsum",
+                     "q_block"),
 )
+def _blend_q_block_into(out, start, idx1, val1, colmax, feat, sample_vals,
+                        *, num_q, n, g_chunk, lambda_value, minsum, q_block):
+    """One query block's rows of the final matrix, written into the DONATED
+    (Q, G) result. Blocks overlap at the tail like gallery chunks do —
+    identical recomputed values, no padding buffer."""
+    q_dtype = jnp.float32 if minsum == "exact" else jnp.bfloat16
+    rows = start + jnp.arange(q_block, dtype=jnp.int32)
+    vq_dense = _densify(idx1[rows], val1[rows], n, q_dtype)
+    blk = _final_blend_chunks(
+        vq_dense, feat[rows], colmax[rows], feat[num_q:],
+        idx1[num_q:], val1[num_q:], n, g_chunk, lambda_value, minsum,
+        sample_vals,
+    )
+    return jax.lax.dynamic_update_slice_in_dim(out, blk, start, 0)
+
+
 def re_ranking_sparse(
     qf: jax.Array,
     gf: jax.Array,
@@ -403,6 +429,7 @@ def re_ranking_sparse(
     minsum: str = "exact",
     block: int = 256,
     g_chunk: int = 4096,
+    q_block: int = 2048,
     return_info: bool = False,
 ):
     """Re-ranked (Q, G) distance matrix — sparse-V, beyond-HBM galleries.
@@ -416,38 +443,136 @@ def re_ranking_sparse(
       * ``"quantized"`` — 32-level threshold decomposition on the MXU
         (quantile-bounded approximation; the large-gallery default).
 
+    Memory architecture (r5 — the r4 monolithic jit crashed the 16 GB
+    chip's worker at MSMT scale, reproduced standalone): the sparse-V
+    build and the blend are SEPARATE compiled programs, and the blend runs
+    ``q_block`` query rows at a time into a donated (Q, G) result — XLA's
+    buffer plan never holds more than the result + one block's dense rows
+    and level temporaries (~8 GB at MSMT scale vs ~15 monolithic).
+
     ``width``/``width2`` cap the expanded / query-expanded supports
     (defaults 8·(k1+1) and 4·width); truncation is deterministic and
     counted — pass ``return_info=True`` for
     ``{"overflow_v": rows-truncated-at-stage-3,
        "overflow_qe": rows-truncated-at-stage-4}``.
     """
-    feat = jnp.concatenate([qf, gf], axis=0).astype(jnp.float32)
+    if minsum not in ("exact", "quantized"):
+        raise ValueError(f"minsum must be 'exact'|'quantized', got {minsum!r}")
+    feat = jnp.concatenate([jnp.asarray(qf), jnp.asarray(gf)],
+                           axis=0).astype(jnp.float32)
     num_q = qf.shape[0]
+    num_g = gf.shape[0]
     n = feat.shape[0]
     k1, k2, half, width, width2 = _resolve_params(n, k1, k2, width, width2)
 
-    idx1, val1, colmax, ovf_v, ovf_qe = _build_sparse_v(
-        feat, k1, k2, half, width, width2, block
+    idx1, val1, colmax, ovf_v, ovf_qe = _build_sparse_v_jitted(
+        feat, k1=k1, k2=k2, half=half, width=width, width2=width2,
+        block=block,
     )
+    sample_vals = val1[: min(n, 256)].reshape(-1)
 
-    if minsum not in ("exact", "quantized"):
-        raise ValueError(f"minsum must be 'exact'|'quantized', got {minsum!r}")
-    # quantized mode thresholds the dense rows to 0/1 per level — bf16
-    # dense storage halves the resident (Q, N) block at MSMT scale
-    q_dtype = jnp.float32 if minsum == "exact" else jnp.bfloat16
-    vq_dense = _densify(idx1[:num_q], val1[:num_q], n, q_dtype)
-    final = _final_blend_chunks(
-        vq_dense, feat[:num_q], colmax[:num_q], feat[num_q:],
-        idx1[num_q:], val1[num_q:], n, g_chunk, lambda_value, minsum,
-        sample_vals=val1[: min(n, 256)].reshape(-1),
-    )
+    q_block = min(q_block, num_q)
+    final = jnp.zeros((num_q, num_g), jnp.float32)
+    for i in range(_blocked(num_q, q_block)):
+        start = jnp.asarray(min(i * q_block, num_q - q_block), jnp.int32)
+        final = _blend_q_block_into(
+            final, start, idx1, val1, colmax, feat, sample_vals,
+            num_q=num_q, n=n, g_chunk=g_chunk, lambda_value=lambda_value,
+            minsum=minsum, q_block=q_block,
+        )
     if return_info:
         return final, {
             "overflow_v": jnp.sum((ovf_v > 0).astype(jnp.int32)),
             "overflow_qe": jnp.sum((ovf_qe > 0).astype(jnp.int32)),
         }
     return final
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k1", "k2", "half", "width", "width2", "block"),
+)
+def _build_sparse_v_jitted(feat, *, k1, k2, half, width, width2, block):
+    return _build_sparse_v(feat, k1, k2, half, width, width2, block)
+
+
+def re_ranking_sparse_sharded(
+    qf,
+    gf,
+    mesh,
+    axis: str = "data",
+    k1: int = 50,
+    k2: int = 15,
+    lambda_value: float = 0.3,
+    width: Optional[int] = None,
+    width2: Optional[int] = None,
+    minsum: str = "exact",
+    block: int = 256,
+    g_chunk: int = 4096,
+):
+    """Mesh-parallel sparse re-ranking over the gallery axis.
+
+    Semantics identical to :func:`re_ranking_sparse`. The sparse-V build
+    (stages 1-4) runs replicated — it is O(N·W) and cheap relative to the
+    min-sum; the min-sum → Jaccard → λ-blend tail (the dominant cost at
+    MSMT scale) is *embarrassingly parallel over gallery chunks* once V is
+    built, so it runs under ``shard_map`` with each device blending its
+    contiguous gallery slab against the replicated dense query block.
+    Quantization thresholds are computed once from the replicated sample,
+    so every shard uses identical level edges.
+
+    Replaces the reference's CPU inverted-index offload
+    (ref ``utils/reranking.py:80-93``, ``utils/metrics.py:107-111``) with
+    ICI-scaled on-chip compute. Returns the (Q, G) matrix laid out with
+    its gallery dimension sharded over ``axis`` (callers slicing per-query
+    rows trigger an all-gather of just those rows).
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if minsum not in ("exact", "quantized"):
+        raise ValueError(f"minsum must be 'exact'|'quantized', got {minsum!r}")
+    feat = jnp.concatenate([jnp.asarray(qf), jnp.asarray(gf)], axis=0)
+    feat = feat.astype(jnp.float32)
+    num_q = qf.shape[0]
+    num_g = gf.shape[0]
+    n = feat.shape[0]
+    k1, k2, half, width, width2 = _resolve_params(n, k1, k2, width, width2)
+
+    rep = NamedSharding(mesh, P())
+    feat = jax.device_put(feat, rep)
+    idx1, val1, colmax, _, _ = _build_sparse_v_jitted(
+        feat, k1=k1, k2=k2, half=half, width=width, width2=width2,
+        block=block,
+    )
+
+    q_dtype = jnp.float32 if minsum == "exact" else jnp.bfloat16
+    vq_dense = _densify(idx1[:num_q], val1[:num_q], n, q_dtype)
+    sample_vals = val1[: min(n, 256)].reshape(-1)
+
+    # pad the gallery rows so each device owns an equal contiguous slab
+    ndev = mesh.shape[axis]
+    pad = (-num_g) % ndev
+    idxg = jnp.pad(idx1[num_q:], ((0, pad), (0, 0)), constant_values=n)
+    valg = jnp.pad(val1[num_q:], ((0, pad), (0, 0)))
+    gf32 = jnp.pad(feat[num_q:], ((0, pad), (0, 0)))
+
+    def local_blend(vq, qf32, colmax_q, gfc, ic, vc, sv):
+        return _final_blend_chunks(
+            vq, qf32, colmax_q, gfc, ic, vc, n, g_chunk, lambda_value,
+            minsum, sv,
+        )
+
+    blend = shard_map(
+        local_blend, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P()),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    out = jax.jit(blend)(
+        vq_dense, feat[:num_q], colmax[:num_q], gf32, idxg, valg, sample_vals
+    )
+    return out[:, :num_g]
 
 
 @functools.partial(

@@ -109,8 +109,32 @@ def test_sparse_quantized_minsum_close_to_exact():
     zq, zg = jnp.zeros(48, jnp.int32), jnp.zeros(160, jnp.int32)
     cmc_e, map_e = cmc_map(jnp.asarray(exact), q_pids, g_pids, zq, zg)
     cmc_f, map_f = cmc_map(jnp.asarray(fast), q_pids, g_pids, zq, zg)
-    assert abs(float(cmc_e[0]) - float(cmc_f[0])) < 0.03
-    assert abs(float(map_e) - float(map_f)) < 0.01
+    # measured on this data (r5): rank-1/mAP deltas are exactly 0.0 and
+    # top-1 *image* disagreement is 3/48 (always within the same identity).
+    # Tolerances allow one rank-1 query flip and half its mAP effect —
+    # anything looser would hide a real quantization regression.
+    assert abs(float(cmc_e[0]) - float(cmc_f[0])) <= 1.0 / 48 + 1e-9
+    assert abs(float(map_e) - float(map_f)) < 0.005
+    top1_disagree = float(np.mean(np.argmin(exact, 1) != np.argmin(fast, 1)))
+    assert top1_disagree < 0.15
+
+
+def test_sparse_q_blocked_matches_unblocked():
+    """The donated q-block streaming blend (the r5 crash fix: the r4
+    monolithic program's ~15 GB peak killed the TPU worker at MSMT scale)
+    must be value-identical for any q_block, including ragged tail
+    overlap."""
+    rng = np.random.RandomState(29)
+    qf, gf = _clustered(rng, 8, 16, 23, 70)
+    kw = dict(k1=10, k2=4, block=16, g_chunk=32)
+    whole = np.asarray(re_ranking_sparse(
+        jnp.asarray(qf), jnp.asarray(gf), **kw
+    ))
+    for qb in (7, 23, 64):
+        blocked = np.asarray(re_ranking_sparse(
+            jnp.asarray(qf), jnp.asarray(gf), q_block=qb, **kw
+        ))
+        np.testing.assert_array_equal(blocked, whole)
 
 
 def test_sparse_ragged_blocks_and_chunks():
@@ -140,6 +164,30 @@ def test_sparse_rows_oracle_matches_numpy():
         k1=12, k2=5, block=32, g_chunk=64,
     ))
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("minsum", ["exact", "quantized"])
+def test_sparse_sharded_matches_single_device(minsum):
+    """re_ranking_sparse_sharded: the gallery-partitioned blend under
+    shard_map must equal the single-logical-device result bitwise-ish (same
+    math, same chunk walk per shard) on the 8-device CPU mesh — the
+    multi-chip story for MSMT-scale re-ranking (VERDICT r4 task #4)."""
+    from mpreid_tpu.ops.reranking_sparse import re_ranking_sparse_sharded
+    from mpreid_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(23)
+    qf, gf = _clustered(rng, 10, 16, 22, 109)  # 109 % 8 != 0: pad path
+    mesh = make_mesh(data=8)
+    kw = dict(k1=12, k2=5, block=32, g_chunk=16, minsum=minsum)
+    single = np.asarray(re_ranking_sparse(
+        jnp.asarray(qf), jnp.asarray(gf), **kw
+    ))
+    with mesh:
+        sharded = np.asarray(re_ranking_sparse_sharded(
+            jnp.asarray(qf), jnp.asarray(gf), mesh, axis="data", **kw
+        ))
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
 
 
 def test_evaluator_auto_switches_to_sparse():
