@@ -108,7 +108,8 @@ def run_validation(cfg, model, params, batch_stats, val_loader, num_query,
         logger.info(f"Validation Results{tag}")
         logger.info("mAP: {:.1%}".format(mAP))
         for r in (1, 5, 10):
-            logger.info("CMC curve, Rank-{:<3}:{:.1%}".format(r, cmc[r - 1]))
+            if r <= len(cmc):  # tiny galleries have fewer ranks than 10
+                logger.info("CMC curve, Rank-{:<3}:{:.1%}".format(r, cmc[r - 1]))
     return cmc, mAP
 
 

@@ -40,6 +40,25 @@ from mpreid_tpu.ops.augment import eval_preprocess
 from .evaluator import R1mAPEvaluator
 
 
+def tta_views(x: jax.Array):
+    """The four pseudo-modality TTA views of a preprocessed image batch
+    (ref ``processor_uniprompt_stage2.py:607-650``): original, h-flip,
+    pseudo-IR (channel mean replicated), pseudo-RGB (first channel
+    replicated). The ONE copy of this math — ``do_inference_tta`` and the
+    bench scan (``utils/benchkit.py::make_tta_scan``) both call it."""
+    views = [x, x[:, :, ::-1, :]]
+    gray = jnp.mean(x, axis=-1, keepdims=True)
+    views.append(jnp.broadcast_to(gray, x.shape))
+    views.append(jnp.broadcast_to(x[..., 0:1], x.shape))
+    return views
+
+
+def tta_aggregate(fwd, x: jax.Array):
+    """(mean feature over the TTA views, plain-view feature)."""
+    feats = [fwd(v) for v in tta_views(x)]
+    return jnp.mean(jnp.stack(feats, axis=0), axis=0), feats[0]
+
+
 def _eval_feature_step(model, cfg):
     """Eval features from *preprocessed* float images (TTA variants reuse it)."""
 
@@ -84,14 +103,9 @@ def do_inference_tta(cfg, model, variables, val_loader, num_query: int):
         boundary = int(np.clip(num_query - processed, 0, batch["count"]))
         is_query = boundary > 0
         if is_query:
-            views = [x, x[:, :, ::-1, :]]
-            gray = jnp.mean(x, axis=-1, keepdims=True)
-            views.append(jnp.broadcast_to(gray, x.shape))            # pseudo-IR
-            first = x[:, :, :, 0:1]
-            views.append(jnp.broadcast_to(first, x.shape))           # pseudo-RGB
-            feats = [step(params, bstats, v, cam, view) for v in views]
-            agg = jnp.mean(jnp.stack(feats, axis=0), axis=0)
-            plain = feats[0]
+            agg, plain = tta_aggregate(
+                lambda v: step(params, bstats, v, cam, view), x
+            )
             # TTA-aggregated features for query rows, plain for gallery rows
             row = jnp.arange(agg.shape[0])[:, None]
             feat = jnp.where(row < boundary, agg, plain)
@@ -109,7 +123,8 @@ def do_inference_tta(cfg, model, variables, val_loader, num_query: int):
     logger.info("Validation Results (TTA Option A - Image Features)")
     logger.info("mAP: {:.1%}".format(mAP))
     for r in (1, 5, 10):
-        logger.info("CMC curve, Rank-{:<3}:{:.1%}".format(r, cmc[r - 1]))
+        if r <= len(cmc):  # tiny galleries have fewer ranks than 10
+            logger.info("CMC curve, Rank-{:<3}:{:.1%}".format(r, cmc[r - 1]))
     return float(cmc[0]), float(cmc[4])
 
 

@@ -29,18 +29,16 @@ import numpy as np
 # canonical bench environments
 # ---------------------------------------------------------------------------
 
-def uniprompt_env(num_classes: int = 1000, camera_num: int = 14,
-                  view_num: int = 1, size: Tuple[int, int] = (256, 128),
-                  debug_tiny: bool = False):
-    """(cfg, model, variables): the canonical ViT-B/16 @ 256×128 Uni-Prompt
-    bench model with the cctv yml loss knobs (PK sampler, ID weight 0.25).
+def uniprompt_model(num_classes: int = 1000, camera_num: int = 14,
+                    view_num: int = 1, size: Tuple[int, int] = (256, 128),
+                    debug_tiny: bool = False):
+    """(cfg, model): the canonical Uni-Prompt bench model WITHOUT params.
 
-    ``debug_tiny`` shrinks the towers (MODEL.DEBUG_TINY) for CPU smoke
-    tests of the harness itself."""
-    import jax
-
+    No device arrays are created — callers that only need ``clip_config``
+    (FLOPs arithmetic, extras assembly) must be able to run even when the
+    TPU backend is dead mid-bench."""
     from mpreid_tpu.config import get_default_cfg
-    from mpreid_tpu.models import init_variables, make_model_uniprompt
+    from mpreid_tpu.models import make_model_uniprompt
 
     cfg = get_default_cfg()
     cfg.MODEL.NAME = "ViT-B-16"
@@ -52,18 +50,34 @@ def uniprompt_env(num_classes: int = 1000, camera_num: int = 14,
     model = make_model_uniprompt(
         cfg, num_class=num_classes, camera_num=camera_num, view_num=view_num
     )
+    return cfg, model
+
+
+def uniprompt_env(num_classes: int = 1000, camera_num: int = 14,
+                  view_num: int = 1, size: Tuple[int, int] = (256, 128),
+                  debug_tiny: bool = False):
+    """(cfg, model, variables): the canonical ViT-B/16 @ 256×128 Uni-Prompt
+    bench model with the cctv yml loss knobs (PK sampler, ID weight 0.25).
+
+    ``debug_tiny`` shrinks the towers (MODEL.DEBUG_TINY) for CPU smoke
+    tests of the harness itself."""
+    import jax
+
+    from mpreid_tpu.models import init_variables
+
+    cfg, model = uniprompt_model(
+        num_classes=num_classes, camera_num=camera_num, view_num=view_num,
+        size=size, debug_tiny=debug_tiny,
+    )
     variables = init_variables(model, jax.random.PRNGKey(0), cfg)
     return cfg, model, variables
 
 
-def rn50_env(num_classes: int = 1000, camera_num: int = 14,
-             size: Tuple[int, int] = (256, 128), debug_tiny: bool = False):
-    """(cfg, model, variables): the RN50 baseline bench model
-    (ref configs/person/cnn_base.yml path) at 256×128."""
-    import jax
-
+def rn50_model(num_classes: int = 1000, camera_num: int = 14,
+               size: Tuple[int, int] = (256, 128), debug_tiny: bool = False):
+    """(cfg, model): the RN50 baseline bench model WITHOUT params."""
     from mpreid_tpu.config import get_default_cfg
-    from mpreid_tpu.models import init_variables, make_model
+    from mpreid_tpu.models import make_model
 
     cfg = get_default_cfg()
     cfg.MODEL.NAME = "RN50"
@@ -73,8 +87,63 @@ def rn50_env(num_classes: int = 1000, camera_num: int = 14,
     cfg.DATALOADER.SAMPLER = "softmax_triplet"
     model = make_model(cfg, num_class=num_classes, camera_num=camera_num,
                        view_num=1)
+    return cfg, model
+
+
+def rn50_env(num_classes: int = 1000, camera_num: int = 14,
+             size: Tuple[int, int] = (256, 128), debug_tiny: bool = False):
+    """(cfg, model, variables): the RN50 baseline bench model
+    (ref configs/person/cnn_base.yml path) at 256×128."""
+    import jax
+
+    from mpreid_tpu.models import init_variables
+
+    cfg, model = rn50_model(num_classes=num_classes, camera_num=camera_num,
+                            size=size, debug_tiny=debug_tiny)
     variables = init_variables(model, jax.random.PRNGKey(1), cfg)
     return cfg, model, variables
+
+
+class SyntheticValLoader:
+    """In-memory val loader (query rows first, then gallery) whose image
+    batches are DEVICE-RESIDENT jnp arrays.
+
+    Drives the *public* eval entry points (``do_inference_tta`` /
+    ``do_inference_ttpt``) on-device without measuring this host's
+    ~10 MB/s host→device upload cap (CLAUDE.md): ``jnp.asarray`` of an
+    already-committed device array is a no-op inside the engine loop.
+    pids are drawn from ``n_ids`` so CMC/mAP have real matches; camids
+    cycle so the same-pid-same-cam filter keeps positives."""
+
+    def __init__(self, cfg, num_query_batches: int, num_gallery_batches: int,
+                 batch: int, n_ids: int = 32,
+                 rng: Optional[np.random.RandomState] = None):
+        import jax.numpy as jnp
+
+        rng = rng if rng is not None else np.random.RandomState(0)
+        h, w = cfg.INPUT.SIZE_TEST
+        total_batches = num_query_batches + num_gallery_batches
+        total = total_batches * batch
+        pids = rng.randint(0, n_ids, total).astype(np.int32)
+        camids = (np.arange(total) % 6).astype(np.int32)
+        self.num_query = num_query_batches * batch
+        self.total = total
+        self._batches = []
+        for i in range(total_batches):
+            sl = slice(i * batch, (i + 1) * batch)
+            self._batches.append({
+                "images": jnp.asarray(
+                    rng.randint(0, 255, (batch, h, w, 3), dtype=np.uint8)
+                ),
+                "pids": pids[sl],
+                "camids": camids[sl],
+                "trackids": np.zeros(batch, np.int32),
+                "paths": [""] * batch,
+                "count": batch,
+            })
+
+    def iter_sequential(self):
+        return iter(self._batches)
 
 
 def synthetic_train_batch(batch: int = 64, num_classes: int = 1000,
@@ -144,13 +213,16 @@ def make_tta_scan(cfg, model, params, batch_stats,
                   rng: Optional[np.random.RandomState] = None
                   ) -> Callable[[], float]:
     """``run() -> float``: TTA query-feature windows — per image the mean
-    feature over {original, h-flip, pseudo-IR, pseudo-RGB} views
-    (engine/ttpt.py::do_inference_tta, ref
-    processor_uniprompt_stage2.py:607-650). Same scan/data-dependency
-    hygiene as ``make_eval_scan``; ~4× its per-image cost."""
+    feature over {original, h-flip, pseudo-IR, pseudo-RGB} views. The view
+    aggregation is the ENGINE's (``engine/ttpt.py::tta_aggregate``, ref
+    processor_uniprompt_stage2.py:607-650) — one copy of the
+    pseudo-modality math, so this scan cannot drift from the product path.
+    Same scan/data-dependency hygiene as ``make_eval_scan``; ~4× its
+    per-image cost."""
     import jax
     import jax.numpy as jnp
 
+    from mpreid_tpu.engine.ttpt import tta_aggregate
     from mpreid_tpu.ops.augment import eval_preprocess
 
     rng = rng if rng is not None else np.random.RandomState(0)
@@ -167,11 +239,7 @@ def make_tta_scan(cfg, model, params, batch_stats,
 
         def body(carry, _):
             x = eval_preprocess(images_u8 + carry, mean=mean, std=std)
-            views = [x, x[:, :, ::-1, :]]
-            gray = jnp.mean(x, axis=-1, keepdims=True)
-            views.append(jnp.broadcast_to(gray, x.shape))       # pseudo-IR
-            views.append(jnp.broadcast_to(x[..., 0:1], x.shape))  # pseudo-RGB
-            f = jnp.mean(jnp.stack([fwd(v) for v in views]), axis=0)
+            f, _ = tta_aggregate(fwd, x)
             f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
             s = jnp.sum(f.astype(jnp.float32))
             return (s > 1e30).astype(jnp.uint8), s
