@@ -320,7 +320,11 @@ _BT_HM_FWD = 32             # batch elements per fwd grid step
 _BT_HM_BWD = 32             # batch elements per bwd grid step
 _HG_HM_FWD = 2              # heads per fwd grid step (lower bound; _pick_hg)
 _HG_HM_BWD = 2              # heads per bwd grid step (lower bound; _pick_hg)
-_HM_VMEM_LIMIT = 32 << 20   # Mosaic scoped-VMEM limit for BOTH hm kernels
+# Mosaic scoped-VMEM limits, split per direction so a tile sweep relaxing
+# one kernel's budget cannot change the other's scheduling/buffering (the
+# r4 sweep confound: one shared limit made fwd-tile rows non-isolated A/Bs).
+_VMEM_HM_FWD = 32 << 20
+_VMEM_HM_BWD = 32 << 20
 
 # Default layouts the model layers emit (models/layers.py):
 #   "packed"    — params in torch [q|k|v] packing, whole-row kernel.
@@ -500,7 +504,7 @@ def _mha_fwd_pallas_hm(qkv, mask, num_heads, interpret):
             (qkv_p.shape[0], l, num_heads * dh), qkv.dtype
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_HM_VMEM_LIMIT
+            vmem_limit_bytes=_VMEM_HM_FWD
         ),
         interpret=interpret,
     )(*args)
@@ -531,7 +535,7 @@ def _mha_bwd_pallas_hm(qkv, mask, do, num_heads, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((qkv_p.shape[0], l, dd), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_HM_VMEM_LIMIT
+            vmem_limit_bytes=_VMEM_HM_BWD
         ),
         interpret=interpret,
     )(*args)

@@ -17,26 +17,30 @@ sys.path.insert(0, ".")
 from mpreid_tpu.ops import attention as attn  # noqa: E402
 
 
-def set_tiles(bt_fwd, hg_fwd, bt_bwd, hg_bwd, vmem=32 << 20):
+def set_tiles(bt_fwd, hg_fwd, vmem_fwd, bt_bwd, hg_bwd, vmem_bwd):
     attn._BT_HM_FWD, attn._HG_HM_FWD = bt_fwd, hg_fwd
     attn._BT_HM_BWD, attn._HG_HM_BWD = bt_bwd, hg_bwd
-    attn._HM_VMEM_LIMIT = vmem
+    # per-direction scoped-VMEM limits: relaxing one kernel's budget must
+    # not change the OTHER kernel's Mosaic scheduling (a shared limit made
+    # the r4 sweep's fwd-only rows non-isolated A/Bs of tile shape)
+    attn._VMEM_HM_FWD = vmem_fwd << 20
+    attn._VMEM_HM_BWD = vmem_bwd << 20
 
 
-# (bt_fwd, hg_fwd, bt_bwd, hg_bwd, vmem_MB). Head-group picks round up via
-# _pick_hg: dh=64 needs hg even; hg must divide 12 (vision) / 8 (text).
-# Measured (r4): fwd BT=64 HG=2 needs a 37.1M scoped-vmem stack — BT=64
-# rows get 64M. A config that still OOMs prints "FAILED" and the sweep
-# continues.
+# (bt_fwd, hg_fwd, vmem_fwd_MB, bt_bwd, hg_bwd, vmem_bwd_MB). Head-group
+# picks round up via _pick_hg: dh=64 needs hg even; hg must divide 12
+# (vision) / 8 (text). Measured (r4): fwd BT=64 HG=2 needs a 37.1M
+# scoped-vmem stack — those rows get 64M on the fwd side only. A config
+# that still OOMs prints "FAILED" and the sweep continues.
 CONFIGS = [
-    (32, 2, 32, 2, 32),   # round-3 default
-    (64, 2, 32, 2, 64),   # fwd whole-batch tile
-    (64, 2, 64, 2, 64),   # whole-batch both
-    (32, 4, 32, 2, 32),   # wider fwd head group
-    (32, 4, 32, 4, 64),   # wider both
-    (16, 4, 16, 4, 32),   # smaller batch tile, wider heads
-    (64, 4, 32, 2, 64),   # big fwd tile
-    (16, 2, 16, 2, 32),   # round-2 shape
+    (32, 2, 32, 32, 2, 32),   # round-3 default
+    (64, 2, 64, 32, 2, 32),   # fwd whole-batch tile
+    (64, 2, 64, 64, 2, 64),   # whole-batch both
+    (32, 4, 32, 32, 2, 32),   # wider fwd head group
+    (32, 4, 32, 32, 4, 64),   # wider both
+    (16, 4, 32, 16, 4, 32),   # smaller batch tile, wider heads
+    (64, 4, 64, 32, 2, 32),   # big fwd tile
+    (16, 2, 32, 16, 2, 32),   # round-2 shape
 ]
 
 
@@ -46,11 +50,12 @@ def main():
     what = sys.argv[1] if len(sys.argv) > 1 else "stage2"
     windows = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     cfg, model, variables = benchkit.uniprompt_env()
-    for bt_f, hg_f, bt_b, hg_b, vmem in CONFIGS:
-        set_tiles(bt_f, hg_f, bt_b, hg_b, vmem << 20)
-        tag = (f"fwd BT={bt_f:2d} HG={hg_f} | bwd BT={bt_b:2d} HG={hg_b} "
-               f"| vmem {vmem:2d}M")
+    for bt_f, hg_f, vm_f, bt_b, hg_b, vm_b in CONFIGS:
+        set_tiles(bt_f, hg_f, vm_f, bt_b, hg_b, vm_b)
+        tag = (f"fwd BT={bt_f:2d} HG={hg_f} vmem {vm_f:2d}M | "
+               f"bwd BT={bt_b:2d} HG={hg_b} vmem {vm_b:2d}M")
         if what in ("stage2", "both"):
+            h = None  # release the prior config's donated state FIRST
             try:
                 h = benchkit.stage2_harness(cfg, model, variables)
                 iters = 20
@@ -63,6 +68,7 @@ def main():
             finally:
                 h = None  # free the donated state's HBM before the next cfg
         if what in ("stage1", "both"):
+            h = None  # release the prior config's donated state FIRST
             try:
                 h = benchkit.stage1_harness(cfg, model, variables)
                 dt = benchkit.best_of(benchkit.epoch_window(h),

@@ -7,7 +7,7 @@ TF/s and GB/s per category — a roofline view) and by op name prefix.
 
 Usage:
   PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
-      python tools/profile_stage2.py [out_dir] [--eval|--moe|--epoch] [--parse-only]
+      python tools/profile_stage2.py [out_dir] [--eval|--moe|--epoch] [--parse-only] [--steps N]
 
 --eval profiles the batch-128 eval forward (the gallery-extraction
 north-star), --moe the stage-2b MoE train step (routing + expert einsum +
@@ -29,6 +29,13 @@ import collections
 import glob
 import os
 import sys
+
+# Shared step counts: the trace capture AND the --parse-only fallback must
+# agree on how many steps a trace contains, or re-parsing reports wrong
+# ms/step (ADVICE r4). Pass an explicit count via --steps N when re-parsing
+# a trace captured with non-default lengths.
+EPOCH_ITERS = 20
+EVAL_ITERS = 40
 
 import numpy as np
 
@@ -78,7 +85,7 @@ def build_moe_step():
     return step, state, h["batch"]
 
 
-def build_epoch(iters: int = 20, batch: int = 64):
+def build_epoch(iters: int = EPOCH_ITERS, batch: int = 64):
     """The stage-2a EPOCH SCAN (bench.py's headline stage-2 program:
     make_train_epoch over a device-resident uint8 dataset). Returns
     (run, iters) where run() executes one epoch and fetches results —
@@ -123,7 +130,7 @@ def build_epoch(iters: int = 20, batch: int = 64):
     return run, iters
 
 
-def build_eval(batch: int = 128, iters: int = 40):
+def build_eval(batch: int = 128, iters: int = EVAL_ITERS):
     """Batch-128 eval forward as ONE jitted scan of ``iters`` iterations
     (benchkit — bench.py's eval section). Returns (run, iters)."""
     from mpreid_tpu.utils import benchkit
@@ -217,9 +224,12 @@ def main():
                     state, m = step(state, batch_d, 5e-6, key)
                 _ = float(m["loss"])
     elif "--eval" in sys.argv:
-        n_steps = 40
+        n_steps = EVAL_ITERS
     elif "--epoch" in sys.argv:
-        n_steps = 20
+        n_steps = EPOCH_ITERS
+    for i, a in enumerate(sys.argv):
+        if a == "--steps":  # explicit override for re-parsing odd traces
+            n_steps = int(sys.argv[i + 1])
 
     by_cat, cat_flops, cat_bytes, by_name, total, while_env = parse_xplane(
         out_dir
