@@ -749,6 +749,157 @@ def test_stage1b_train_parity(uniprompt_pair, clip_sd):
 
 
 # ===========================================================================
+# Uni-Prompt stage-2b: MoE gate+encoder training with load-balancing aux
+# ===========================================================================
+
+
+def test_stage2b_moe_train_parity(clip_sd):
+    """Side-by-side stage-2b training steps on the MoE vision tower: the
+    reference's 2b regime — gates + image encoder minus experts trainable,
+    selected by the REAL ``make_optimizer_2bstage``
+    (ref make_optimizer_prompt.py:111-152), with the task loss + 0.01 ×
+    load-balancing aux computed by the reference's own
+    ``load_balancing_loss_func`` (ref processor_uniprompt_stage2.py:75-128,
+    clip/model.py:342-377).
+
+    Tower-level because the reference cannot run stage-2b end-to-end: its
+    ``make_model_uniprompt`` unpacks 3 outputs from image_encoder while the
+    MoE visual returns 4, and ``switch_to_moe_model``
+    (train_uniprompt.py:129) does not exist — SURVEY §2.2 #19/#33 bitrot.
+    top_k = num_experts keeps routing continuous so float-tolerance parity
+    is well defined; the discrete top-k dispatch equivalence is pinned in
+    test_torch_parity.py::test_moe_visual_tower_parity."""
+    import torch.nn as nn
+    from model.clip.model import build_model, load_balancing_loss_func
+    from solver.make_optimizer_prompt import make_optimizer_2bstage
+
+    import jax
+    import jax.numpy as jnp
+
+    from mpreid_tpu.models.clip_model import CLIP, convert_clip_state_dict
+    from mpreid_tpu.models.convert import _convert_vit_moe_trained
+    from mpreid_tpu.models.moe import load_balancing_loss
+    from mpreid_tpu.solver import make_optimizer
+
+    E, n_moe = 2, 2
+    g = torch.Generator().manual_seed(21)
+
+    def r(*shape):
+        return torch.randn(*shape, generator=g) * 0.02
+
+    sd = {k: v.clone() for k, v in clip_sd.items()}
+    for i in range(n_moe):
+        p = f"visual.transformer.resblocks.{i}"
+        sd[f"{p}.gate.weight"] = r(E, VISION_WIDTH)
+        for m in range(E):
+            sd[f"{p}.experts.{m}.c_fc.weight"] = r(4 * VISION_WIDTH, VISION_WIDTH)
+            sd[f"{p}.experts.{m}.c_fc.bias"] = r(4 * VISION_WIDTH)
+            sd[f"{p}.experts.{m}.c_proj.weight"] = r(VISION_WIDTH, 4 * VISION_WIDTH)
+            sd[f"{p}.experts.{m}.c_proj.bias"] = r(VISION_WIDTH)
+
+    torch_clip = build_model(
+        {k: v.clone() for k, v in sd.items()}, 2, 1, 16,
+        num_experts=E, top_k=E, moe_layers=n_moe,
+    ).float()
+
+    class Wrapper(nn.Module):
+        """Attribute named ``image_encoder`` so the reference 2b
+        optimizer's name-based masks apply verbatim."""
+
+        def __init__(self, visual):
+            super().__init__()
+            self.image_encoder = visual
+
+    class _Center(nn.Module):  # make_optimizer_2bstage builds an SGD on it
+        def __init__(self):
+            super().__init__()
+            self.c = nn.Parameter(torch.zeros(1))
+
+    wrapper = Wrapper(torch_clip.visual)
+    wrapper.train()
+    cfg = parity_cfg()
+    opt_ref, _ = make_optimizer_2bstage(cfg, wrapper, _Center())
+
+    # ---- our tower with identical weights
+    clip_cfg, variables = convert_clip_state_dict(
+        {k: v.clone() for k, v in sd.items()
+         if ".experts." not in k and ".gate." not in k},
+        2, 1, 16, num_experts=E, top_k=E, moe_layers=n_moe,
+    )
+    vis_sd = {k: v for k, v in sd.items() if k.startswith("visual.")}
+    vis_params, _ = _convert_vit_moe_trained(vis_sd, clip_cfg, n_moe)
+    vis_params["positional_embedding"] = (
+        variables["params"]["visual"]["positional_embedding"]
+    )
+    variables["params"]["visual"] = vis_params
+    jax_model = CLIP(clip_cfg, dtype=np.float32)
+
+    rng = np.random.RandomState(9)
+    batches = [rng.randn(4, H, W, 3).astype(np.float32) * 0.5
+               for _ in range(3)]
+    tgt = (rng.randn(4, EMBED_DIM) * 0.1).astype(np.float32)
+    tgt_t = torch.from_numpy(tgt)
+    coeff = 0.01  # ref processor_uniprompt_stage2.py:76 (hardcoded there)
+
+    ref_losses = []
+    for x in batches:
+        opt_ref.zero_grad()
+        _, _, proj, logits = wrapper.image_encoder(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        )
+        task = ((proj[:, 0] - tgt_t) ** 2).mean()
+        # one gating block → one layer of router logits (the later MoE
+        # block reuses its decision, ref model.py:306-330)
+        aux = load_balancing_loss_func(logits, E)
+        loss = task + coeff * aux
+        loss.backward()
+        opt_ref.step()
+        ref_losses.append(float(loss.detach()))
+
+    opt = make_optimizer(cfg.SOLVER.STAGE2, variables["params"],
+                         stage="stage2b")
+    train0, frozen = opt.partition(variables["params"])
+    # the 2b mask must select exactly the reference's set: gates + every
+    # image-encoder param outside the expert stacks, nothing from text
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(train0)[0]
+    }
+    assert any("gate" in n for n in flat)
+    assert not any("experts" in n for n in flat)
+    assert not any(n.startswith("text/") for n in flat)
+    tgt_j = jnp.asarray(tgt)
+
+    def loss_of(train_sub, x):
+        params = opt.merge(train_sub, frozen)
+        _, _, proj, logits = jax_model.apply(
+            {"params": params}, x, method=lambda m, im: m.encode_image(im)
+        )
+        task = jnp.mean((proj[:, 0] - tgt_j) ** 2)
+        aux = load_balancing_loss(logits.reshape(-1, E), E)
+        return task + coeff * aux
+
+    @jax.jit
+    def step(train_sub, opt_state, x):
+        loss, grads = jax.value_and_grad(loss_of)(train_sub, x)
+        new_train, new_opt = opt.update(
+            grads, opt_state, train_sub, cfg.SOLVER.STAGE2.BASE_LR
+        )
+        return new_train, new_opt, loss
+
+    opt_state = opt.init(variables["params"])
+    train_sub = train0
+    our_losses = []
+    for x in batches:
+        train_sub, opt_state, loss = step(
+            train_sub, opt_state, jnp.asarray(x)
+        )
+        our_losses.append(float(loss))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3, atol=2e-3)
+
+
+# ===========================================================================
 # baseline with SIE camera embedding
 # ===========================================================================
 
