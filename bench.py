@@ -996,15 +996,26 @@ def sec_uniprompt_pipeline(ctx):
 # Per-section subprocess wall-clock budgets (seconds, non-smoke). The
 # msmt blend's XLA compile alone measured ~10 min at MSMT scale (r5) on
 # top of build compile + two timed windows + the exact-rows oracle.
-_SECTION_TIMEOUTS = {"msmt_rerank": 4500, "uniprompt_pipeline": 2700}
+# per-ATTEMPT caps (see _section_subprocess retries). msmt: cold compile
+# ~25 min + ~13 min run; pipeline: ~19 min cold. A hung attempt burns at
+# most this before the fresh-process retry.
+_SECTION_TIMEOUTS = {"msmt_rerank": 3600, "uniprompt_pipeline": 2700}
 
 
-def _section_subprocess(name, smoke, timeout_s=None):
+def _section_subprocess(name, smoke, timeout_s=None, attempts=2):
     """Run one section in a fresh process; return its extras dict or None.
 
     The child probes the backend itself (waiting out a worker restart),
     then runs the section unguarded — an exception there is a nonzero exit
-    the parent records as a section failure."""
+    the parent records as a section failure.
+
+    ``attempts``: the remote worker can crash or the tunnel can drop MID
+    section, leaving the child hung on an RPC that never completes (r5
+    bench run 2: msmt_rerank sat 25+ min at zero CPU while a concurrent
+    probe process saw a healthy device; the identical standalone repro
+    then ran clean). A timed-out/failed child is therefore retried once in
+    a fresh process — the retry re-probes the backend and reuses whatever
+    the first attempt left in the persistent compile cache."""
     import subprocess
 
     timeout_s = timeout_s or (
@@ -1012,30 +1023,32 @@ def _section_subprocess(name, smoke, timeout_s=None):
     argv = [sys.executable, os.path.abspath(__file__), "--section", name]
     if smoke:
         argv.append("--smoke")
-    try:
-        r = subprocess.run(argv, capture_output=True, text=True,
-                           timeout=timeout_s, cwd=_REPO_ROOT)
-    except subprocess.TimeoutExpired:
-        print(f"bench section {name!r} (subprocess) timed out after "
-              f"{timeout_s:.0f}s", file=sys.stderr)
-        return None
-    if r.stderr:
-        tail = r.stderr.strip().splitlines()[-12:]
-        for line in tail:
-            print(f"[{name}] {line}", file=sys.stderr)
-    payload = None
-    for line in r.stdout.splitlines():
-        if line.startswith(_SECTION_MARKER):
-            try:
-                payload = json.loads(line[len(_SECTION_MARKER):])
-            except json.JSONDecodeError:
-                payload = None
-    if r.returncode != 0 or payload is None or payload.get("error"):
+    for attempt in range(1, attempts + 1):
+        tag = f"attempt {attempt}/{attempts}"
+        try:
+            r = subprocess.run(argv, capture_output=True, text=True,
+                               timeout=timeout_s, cwd=_REPO_ROOT)
+        except subprocess.TimeoutExpired:
+            print(f"bench section {name!r} (subprocess, {tag}) timed out "
+                  f"after {timeout_s:.0f}s", file=sys.stderr)
+            continue
+        if r.stderr:
+            tail = r.stderr.strip().splitlines()[-12:]
+            for line in tail:
+                print(f"[{name}] {line}", file=sys.stderr)
+        payload = None
+        for line in r.stdout.splitlines():
+            if line.startswith(_SECTION_MARKER):
+                try:
+                    payload = json.loads(line[len(_SECTION_MARKER):])
+                except json.JSONDecodeError:
+                    payload = None
+        if r.returncode == 0 and payload is not None and not payload.get("error"):
+            return payload.get("extras")
         err = (payload or {}).get("error", f"exit {r.returncode}")
-        print(f"bench section {name!r} (subprocess) failed: {err}",
+        print(f"bench section {name!r} (subprocess, {tag}) failed: {err}",
               file=sys.stderr)
-        return None
-    return payload.get("extras")
+    return None
 
 
 def run_single_section(name: str, smoke: bool) -> int:

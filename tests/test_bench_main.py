@@ -77,6 +77,54 @@ def test_backend_dead_error_classifier():
         assert not bench._backend_dead_error(e), e
 
 
+def test_section_subprocess_retries_transient_death(monkeypatch, capsys):
+    """A hung/failed isolated-section child is retried ONCE in a fresh
+    process (r5 bench run 2: the remote worker died mid-msmt_rerank and
+    the child sat at zero CPU on an RPC that never completed while a fresh
+    probe saw a healthy device — one retry recovers the section)."""
+    import subprocess as sp
+
+    calls = []
+
+    def fake_run(argv, **kw):
+        calls.append(argv)
+        if len(calls) == 1:
+            raise sp.TimeoutExpired(cmd=argv, timeout=kw.get("timeout"))
+
+        class R:
+            returncode = 0
+            stderr = ""
+            stdout = bench._SECTION_MARKER + json.dumps(
+                {"section": "msmt_rerank",
+                 "extras": {"msmt_scale_rerank_seconds": 7.0}}
+            ) + "\n"
+        return R()
+
+    monkeypatch.setattr(sp, "run", fake_run)
+    out = bench._section_subprocess("msmt_rerank", smoke=True, timeout_s=5)
+    assert out == {"msmt_scale_rerank_seconds": 7.0}
+    assert len(calls) == 2 and calls[0] == calls[1]
+    assert "timed out" in capsys.readouterr().err
+
+    # both attempts failing → None (the section records null, run continues)
+    calls.clear()
+
+    def always_fail(argv, **kw):
+        calls.append(argv)
+
+        class R:
+            returncode = 1
+            stderr = "boom"
+            stdout = ""
+        return R()
+
+    monkeypatch.setattr(sp, "run", always_fail)
+    assert bench._section_subprocess("msmt_rerank", smoke=True,
+                                     timeout_s=5) is None
+    assert len(calls) == 2
+    _ = capsys.readouterr()
+
+
 @pytest.mark.slow
 def test_dead_backend_flips_remaining_sections_to_subprocess(
         monkeypatch, capsys):
