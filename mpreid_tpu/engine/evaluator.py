@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,12 +60,23 @@ class R1mAPEvaluator:
 
     def update(self, output):
         feat, pid, camid = output
-        self.feats.append(np.asarray(feat, dtype=np.float32))
+        # device arrays stay on device (avoids a host fetch here and the
+        # re-upload in compute() — material on hosts with slow device
+        # links); anything else is normalized to fp32 numpy as before
+        if isinstance(feat, jax.Array):
+            self.feats.append(feat.astype(jnp.float32))
+        else:
+            self.feats.append(np.asarray(feat, dtype=np.float32))
         self.pids.append(np.asarray(pid))
         self.camids.append(np.asarray(camid))
 
     def compute(self):
-        feats = jnp.asarray(np.concatenate(self.feats, axis=0))
+        if any(isinstance(f, jax.Array) for f in self.feats):
+            feats = jnp.concatenate(
+                [jnp.asarray(f, jnp.float32) for f in self.feats], axis=0
+            )
+        else:
+            feats = jnp.asarray(np.concatenate(self.feats, axis=0))
         pids = np.concatenate(self.pids)
         camids = np.concatenate(self.camids)
         if self.feat_norm:

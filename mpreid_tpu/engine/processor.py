@@ -60,7 +60,11 @@ def run_validation(cfg, model, params, batch_stats, val_loader, num_query,
             "trackids": batch["trackids"],
         })
         n = batch["count"]
-        evaluator.update((np.asarray(feat)[:n], batch["pids"][:n], batch["camids"][:n]))
+        # device-resident chunk: the evaluator concatenates on device, so
+        # features never round-trip host↔device between extraction and the
+        # distmat (the sharded branch below np.concatenate's them, which
+        # fetches once via __array__)
+        evaluator.update((feat[:n], batch["pids"][:n], batch["camids"][:n]))
 
     if getattr(cfg.TPU, "EVAL_SHARDED", False) and len(jax.devices()) > 1 \
             and not cfg.TEST.RE_RANKING:

@@ -59,15 +59,57 @@ def tta_aggregate(fwd, x: jax.Array):
     return jnp.mean(jnp.stack(feats, axis=0), axis=0), feats[0]
 
 
-def _eval_feature_step(model, cfg):
-    """Eval features from *preprocessed* float images (TTA variants reuse it)."""
+@functools.lru_cache(maxsize=8)
+def _eval_feature_step_cached(model, feat_norm: bool = False):
+    """Jitted eval features from *preprocessed* float images.
+
+    CACHED across inference calls (flax modules hash by structure): a fresh
+    ``@jax.jit`` closure per ``do_inference_*`` call re-traces the full
+    tower every call — measured ~3 s of host time per TTA inference on this
+    1-core host, swamping the 0.6 s of device work. ``feat_norm=True``
+    fuses the L2 normalization into the same program."""
 
     @jax.jit
     def step(params, batch_stats, x, cam, view):
-        return model.apply(
+        f = model.apply(
             {"params": params, "batch_stats": batch_stats},
             x, cam_label=cam, view_label=view, train=False,
         )
+        if feat_norm:
+            f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
+        return f
+
+    return step
+
+
+def _eval_feature_step(model, cfg):
+    """Eval features from *preprocessed* float images (TTA variants reuse it)."""
+    return _eval_feature_step_cached(model)
+
+
+@functools.lru_cache(maxsize=8)
+def _tta_query_step(model, feat_norm: bool):
+    """ONE jitted program per batch shape for a TTA query batch: all four
+    pseudo-modality view forwards + aggregation + the query/gallery
+    boundary select + L2 norm. Replaces 4 separate dispatches plus ~6
+    op-by-op device calls (each paying tunnel latency on remote backends).
+    ``boundary`` is a traced scalar — straddling batches reuse the same
+    executable."""
+
+    @jax.jit
+    def step(params, batch_stats, x, cam, view, boundary):
+        def fwd(v):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                v, cam_label=cam, view_label=view, train=False,
+            )
+
+        agg, plain = tta_aggregate(fwd, x)
+        row = jnp.arange(agg.shape[0])[:, None]
+        feat = jnp.where(row < boundary, agg, plain)
+        if feat_norm:
+            feat = feat / jnp.linalg.norm(feat, axis=1, keepdims=True)
+        return feat
 
     return step
 
@@ -87,7 +129,8 @@ def do_inference_tta(cfg, model, variables, val_loader, num_query: int):
     bstats = variables.get("batch_stats", {})
     mean, std = tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)
     feat_norm = cfg.TEST.FEAT_NORM == "yes"
-    step = _eval_feature_step(model, cfg)
+    plain_step = _eval_feature_step_cached(model, feat_norm)
+    query_step = _tta_query_step(model, feat_norm)
 
     evaluator = R1mAPEvaluator(
         num_query, feat_norm=feat_norm, reranking=cfg.TEST.RE_RANKING,
@@ -101,22 +144,15 @@ def do_inference_tta(cfg, model, variables, val_loader, num_query: int):
         # straddle the split (the reference misclassifies such batches
         # wholesale; here query rows get TTA and gallery rows do not)
         boundary = int(np.clip(num_query - processed, 0, batch["count"]))
-        is_query = boundary > 0
-        if is_query:
-            agg, plain = tta_aggregate(
-                lambda v: step(params, bstats, v, cam, view), x
-            )
+        if boundary > 0:
             # TTA-aggregated features for query rows, plain for gallery rows
-            row = jnp.arange(agg.shape[0])[:, None]
-            feat = jnp.where(row < boundary, agg, plain)
-            if feat_norm:
-                feat = feat / jnp.linalg.norm(feat, axis=1, keepdims=True)
+            feat = query_step(params, bstats, x, cam, view, boundary)
         else:
-            feat = step(params, bstats, x, cam, view)
-            if feat_norm:
-                feat = feat / jnp.linalg.norm(feat, axis=1, keepdims=True)
+            feat = plain_step(params, bstats, x, cam, view)
         n = batch["count"]
-        evaluator.update((np.asarray(feat)[:n], batch["pids"][:n], batch["camids"][:n]))
+        # feats stay ON DEVICE — the evaluator concatenates them there,
+        # avoiding a host fetch + re-upload of every feature row
+        evaluator.update((feat[:n], batch["pids"][:n], batch["camids"][:n]))
         processed += n
 
     cmc, mAP, *_ = evaluator.compute()
@@ -130,9 +166,18 @@ def do_inference_tta(cfg, model, variables, val_loader, num_query: int):
 
 def _make_ttpt_tuner(model, cfg, num_classes: int):
     """Jitted per-batch prompt tuner: entropy-minimizing AdamW on ctx_generic."""
-    lr = cfg.TEST.TTPT.LR
-    steps = cfg.TEST.TTPT.STEPS
-    temp = cfg.TEST.TTPT.TEMPERATURE
+    return _make_ttpt_tuner_cached(
+        model, num_classes, cfg.TEST.TTPT.LR, cfg.TEST.TTPT.STEPS,
+        cfg.TEST.TTPT.TEMPERATURE,
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _make_ttpt_tuner_cached(model, num_classes: int, lr: float, steps: int,
+                            temp: float):
+    """Cached core of ``_make_ttpt_tuner`` (keyed on the values the trace
+    depends on — a fresh closure per ``do_inference_ttpt`` call would
+    re-trace the text tower × fwd+bwd × scan every call)."""
     b1, b2, eps, wd = 0.9, 0.999, 1e-8, 1e-2  # torch AdamW defaults
 
     def text_all(params, bstats, ctx):
@@ -215,7 +260,7 @@ def do_inference_ttpt(cfg, model, variables, val_loader, num_query: int):
     feat_dim = model.in_planes_proj
     num_classes = model.num_classes
 
-    step = _eval_feature_step(model, cfg)
+    step = _eval_feature_step_cached(model)
     tuner = _make_ttpt_tuner(model, cfg, num_classes)
 
     qf, q_pids, q_camids = [], [], []
@@ -243,20 +288,20 @@ def do_inference_ttpt(cfg, model, variables, val_loader, num_query: int):
                     "TTPT entropy: %.4f -> %.4f over %d steps",
                     ent_np[0], ent_np[-1], len(ent_np),
                 )
-            qf.append(np.asarray(query_feat)[:boundary])
+            qf.append(query_feat[:boundary])  # stays on device
             q_pids.extend(batch["pids"][:boundary])
             q_camids.extend(batch["camids"][:boundary])
         if boundary < n:
             feat = step(params, bstats, x, cam, view)
             if feat_norm:
                 feat = feat / jnp.linalg.norm(feat, axis=1, keepdims=True)
-            gf.append(np.asarray(feat)[boundary:n])
+            gf.append(feat[boundary:n])  # stays on device
             g_pids.extend(batch["pids"][boundary:n])
             g_camids.extend(batch["camids"][boundary:n])
         processed += n
 
-    qf = jnp.asarray(np.concatenate(qf))
-    gf = jnp.asarray(np.concatenate(gf))
+    qf = jnp.concatenate(qf)
+    gf = jnp.concatenate(gf)
     gf_proj = gf[:, -feat_dim:]
     if feat_norm:
         gf_proj = gf_proj / jnp.linalg.norm(gf_proj, axis=1, keepdims=True)

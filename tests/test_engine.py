@@ -148,6 +148,32 @@ class TestEvaluator:
         assert d1.shape == d2.shape
         assert not np.allclose(d1, d2)
 
+    def test_device_array_updates_match_numpy(self):
+        """update() accepts device-resident feature chunks (the TTA/eval
+        paths keep features on device to skip the fetch+re-upload round
+        trip) — metrics must be identical to the numpy-chunk path, mixed
+        chunk kinds included."""
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(7)
+        chunks = [rng.randn(6, 16).astype(np.float32) for _ in range(3)]
+        pids = [rng.randint(0, 4, 6) for _ in range(3)]
+        cams = [rng.randint(0, 2, 6) for _ in range(3)]
+
+        ev_np = R1mAPEvaluator(num_query=6, feat_norm=True)
+        ev_dev = R1mAPEvaluator(num_query=6, feat_norm=True)
+        ev_mix = R1mAPEvaluator(num_query=6, feat_norm=True)
+        for i, (f, p, c) in enumerate(zip(chunks, pids, cams)):
+            ev_np.update((f, p, c))
+            ev_dev.update((jnp.asarray(f), p, c))
+            ev_mix.update((jnp.asarray(f) if i % 2 else f, p, c))
+        out_np = ev_np.compute()
+        for ev in (ev_dev, ev_mix):
+            out = ev.compute()
+            np.testing.assert_allclose(out[0], out_np[0], atol=1e-6)  # cmc
+            assert abs(out[1] - out_np[1]) < 1e-6                     # mAP
+            np.testing.assert_allclose(out[2], out_np[2], atol=1e-5)  # distmat
+
 
 @pytest.fixture(scope="module")
 def mmmp_env(tmp_path_factory):

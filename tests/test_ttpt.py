@@ -84,6 +84,26 @@ def test_ttpt_falls_back_to_tta_when_disabled(env):
     assert 0.0 <= r1 <= 1.0
 
 
+def test_jitted_closures_cached_across_calls(tuner_env):
+    """Repeated inference calls must reuse the SAME jitted closures —
+    a fresh ``@jax.jit`` per call re-traces the towers every call
+    (measured ~3 s host time per TTA inference on a 1-core host, 5x the
+    device work). Flax modules hash structurally, so lru_cache keys work."""
+    from mpreid_tpu.engine.ttpt import (
+        _eval_feature_step_cached,
+        _tta_query_step,
+    )
+
+    cfg, model, variables, agg = tuner_env
+    assert _eval_feature_step_cached(model) is _eval_feature_step_cached(model)
+    assert _tta_query_step(model, True) is _tta_query_step(model, True)
+    assert _make_ttpt_tuner(model, cfg, 6) is _make_ttpt_tuner(model, cfg, 6)
+    # different hyperparams → different tuner
+    cfg2 = tiny_cfg()
+    cfg2.TEST.TTPT.STEPS = cfg.TEST.TTPT.STEPS + 3
+    assert _make_ttpt_tuner(model, cfg2, 6) is not _make_ttpt_tuner(model, cfg, 6)
+
+
 def test_ttpt_entropy_decreases(tuner_env):
     """The AdamW loop must strictly reduce the prediction entropy
     (ref stage2:393-404: loss.backward per step on the prompt ctx)."""
