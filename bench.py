@@ -233,7 +233,10 @@ def _backend_dead_error(e: BaseException) -> bool:
     (long compiles trip RPC deadlines while the backend is healthy)."""
     s = f"{type(e).__name__}: {e}".lower()
     return any(n in s for n in (
-        "unavailable",
+        # gRPC status prefix ("UNAVAILABLE: <details>") — the colon keeps
+        # prose like "feature unavailable on this platform" from flipping
+        # every later section to subprocess mode
+        "unavailable:",
         "worker process crashed",
         "crashed or restarted",
         "socket closed",
@@ -326,8 +329,8 @@ class BenchCtx:
                 cfg, model, self.variables, stage="1a", iters=self.iters,
                 batch=self.batch, num_classes=self.num_classes,
                 embed_dim=self.embed_dim,
+                with_state=False,  # standalone callers only need opt/bank/labels
             )
-            h["state"] = None  # standalone callers only need opt/bank/labels
             self._post1a = h
         return self._post1a
 
@@ -351,8 +354,8 @@ class BenchCtx:
             h2 = benchkit.stage2_harness(
                 cfg, model, self.variables, num_classes=self.num_classes,
                 batch=self.batch, embed_dim=self.embed_dim,
+                with_state=False,  # reusable parts only
             )
-            h2["state"] = None
             self._h2_parts = h2
         return self._h2_parts
 
@@ -933,6 +936,11 @@ def sec_uniprompt_pipeline(ctx):
         t0 = time.perf_counter()
         tu.main()
         total = time.perf_counter() - t0
+    except BaseException:
+        # a failed run must not leak the synthetic tree (the retry logic
+        # re-enters this section, accumulating multi-MB dirs in /tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     finally:
         sys.argv = old_argv
 
@@ -993,12 +1001,10 @@ def sec_uniprompt_pipeline(ctx):
 # subprocess isolation
 # ---------------------------------------------------------------------------
 
-# Per-section subprocess wall-clock budgets (seconds, non-smoke). The
-# msmt blend's XLA compile alone measured ~10 min at MSMT scale (r5) on
-# top of build compile + two timed windows + the exact-rows oracle.
-# per-ATTEMPT caps (see _section_subprocess retries). msmt: cold compile
-# ~25 min + ~13 min run; pipeline: ~19 min cold. A hung attempt burns at
-# most this before the fresh-process retry.
+# Per-section, per-ATTEMPT wall-clock caps (seconds, non-smoke; see
+# _section_subprocess retries). msmt: cold compile ~25 min + ~13 min run;
+# pipeline: ~19 min cold. A hung attempt burns at most this before the
+# fresh-process retry.
 _SECTION_TIMEOUTS = {"msmt_rerank": 3600, "uniprompt_pipeline": 2700}
 
 

@@ -158,10 +158,20 @@ def do_inference_tta(cfg, model, variables, val_loader, num_query: int):
     cmc, mAP, *_ = evaluator.compute()
     logger.info("Validation Results (TTA Option A - Image Features)")
     logger.info("mAP: {:.1%}".format(mAP))
+    return _log_and_return_ranks(logger, cmc)
+
+
+def _log_and_return_ranks(logger, cmc):
+    """Log Rank-1/5/10 and return (rank1, rank5), clamping to the last
+    available rank for tiny galleries: ``cmc`` has only ``min(max_rank,
+    num_gallery)`` entries, and jnp's clamped indexing would otherwise
+    silently mislabel (numpy would raise)."""
+    cmc = np.asarray(cmc)
     for r in (1, 5, 10):
-        if r <= len(cmc):  # tiny galleries have fewer ranks than 10
+        if r <= len(cmc):
             logger.info("CMC curve, Rank-{:<3}:{:.1%}".format(r, cmc[r - 1]))
-    return float(cmc[0]), float(cmc[4])
+    r5 = cmc[4] if len(cmc) > 4 else cmc[-1]
+    return float(cmc[0]), float(r5)
 
 
 def _make_ttpt_tuner(model, cfg, num_classes: int):
@@ -315,6 +325,4 @@ def do_inference_ttpt(cfg, model, variables, val_loader, num_query: int):
     )
     logger.info("Validation Results (TTPT CLIP-style)")
     logger.info("mAP: {:.1%}".format(float(mAP)))
-    for r in (1, 5, 10):
-        logger.info("CMC curve, Rank-{:<3}:{:.1%}".format(r, float(cmc[r - 1])))
-    return float(cmc[0]), float(cmc[4])
+    return _log_and_return_ranks(logger, cmc)

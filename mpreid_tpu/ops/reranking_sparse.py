@@ -509,6 +509,7 @@ def re_ranking_sparse_sharded(
     minsum: str = "exact",
     block: int = 256,
     g_chunk: int = 4096,
+    q_block: int = 2048,
 ):
     """Mesh-parallel sparse re-ranking over the gallery axis.
 
@@ -520,6 +521,12 @@ def re_ranking_sparse_sharded(
     contiguous gallery slab against the replicated dense query block.
     Quantization thresholds are computed once from the replicated sample,
     so every shard uses identical level edges.
+
+    Like the single-device path, the blend streams ``q_block`` query rows
+    at a time into a DONATED gallery-sharded (Q, G) result — the full
+    (Q, N) dense query matrix (4.4 GB fp32 at MSMT scale) is never
+    materialized per chip, the exact memory regime whose monolithic form
+    crashed the 16 GB chip's worker in r4.
 
     Replaces the reference's CPU inverted-index offload
     (ref ``utils/reranking.py:80-93``, ``utils/metrics.py:107-111``) with
@@ -547,7 +554,6 @@ def re_ranking_sparse_sharded(
     )
 
     q_dtype = jnp.float32 if minsum == "exact" else jnp.bfloat16
-    vq_dense = _densify(idx1[:num_q], val1[:num_q], n, q_dtype)
     sample_vals = val1[: min(n, 256)].reshape(-1)
 
     # pad the gallery rows so each device owns an equal contiguous slab
@@ -569,9 +575,26 @@ def re_ranking_sparse_sharded(
         out_specs=P(None, axis),
         check_vma=False,
     )
-    out = jax.jit(blend)(
-        vq_dense, feat[:num_q], colmax[:num_q], gf32, idxg, valg, sample_vals
+
+    q_block = min(q_block, num_q)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def blend_block_into(out, start):
+        # query blocks overlap at the tail like the single-device path —
+        # recomputed values are identical, no padding buffer needed
+        rows = start + jnp.arange(q_block, dtype=jnp.int32)
+        vq = _densify(idx1[rows], val1[rows], n, q_dtype)
+        blk = blend(vq, feat[rows], colmax[rows], gf32, idxg, valg,
+                    sample_vals)
+        return jax.lax.dynamic_update_slice_in_dim(out, blk, start, 0)
+
+    out = jax.device_put(
+        jnp.zeros((num_q, num_g + pad), jnp.float32),
+        NamedSharding(mesh, P(None, axis)),
     )
+    for i in range(_blocked(num_q, q_block)):
+        start = jnp.asarray(min(i * q_block, num_q - q_block), jnp.int32)
+        out = blend_block_into(out, start)
     return out[:, :num_g]
 
 

@@ -261,8 +261,8 @@ def stage1_harness(cfg, model, variables, stage: str = "1a",
                    iters: int = 50, batch: int = 64,
                    num_classes: int = 1000, embed_dim: int = 512,
                    random_views: bool = False,
-                   rng: Optional[np.random.RandomState] = None
-                   ) -> Dict[str, Any]:
+                   rng: Optional[np.random.RandomState] = None,
+                   with_state: bool = True) -> Dict[str, Any]:
     """The stage-1 prompt-training workload — the reference's only
     measurable number (50 iters × batch 64, text-encoder fwd+bwd + SupCon
     against a precomputed feature bank; ref
@@ -283,7 +283,11 @@ def stage1_harness(cfg, model, variables, stage: str = "1a",
     stage_cfg = cfg.SOLVER.STAGE1B if stage == "1b" else cfg.SOLVER.STAGE1A
     opt = make_optimizer(stage_cfg, variables["params"], stage=f"stage{stage}")
     epoch_fn = make_stage1_epoch(model, cfg, opt, stage=stage)
-    state = initial_state(jax.tree_util.tree_map(jnp.array, variables), opt)
+    # with_state=False: callers that only need opt/bank/labels (e.g. bench
+    # --section children) skip the params+moments TrainState copy (~1-2 GB
+    # of HBM alloc/free churn on the real chip)
+    state = (initial_state(jax.tree_util.tree_map(jnp.array, variables), opt)
+             if with_state else None)
     n = iters * batch
     bank = jnp.asarray(rng.randn(n, embed_dim).astype(np.float32))
     labels = jnp.asarray(rng.randint(0, num_classes, n).astype(np.int32))
@@ -326,7 +330,8 @@ def epoch_window(harness: Dict[str, Any], lr: float = 3.5e-4
 def stage2_harness(cfg, model, variables, num_classes: int = 1000,
                    batch: int = 64, stage: str = "stage2a",
                    rng: Optional[np.random.RandomState] = None,
-                   embed_dim: int = 512) -> Dict[str, Any]:
+                   embed_dim: int = 512,
+                   with_state: bool = True) -> Dict[str, Any]:
     """The stage-2 fine-tune step (full fwd+bwd + ID/triplet/i2t + Adam;
     ref processor_uniprompt_stage2.py:88-156).
 
@@ -350,7 +355,10 @@ def stage2_harness(cfg, model, variables, num_classes: int = 1000,
     )
     step = make_train_step(model, cfg, loss_fn, opt, uniprompt=True,
                            text_features=text_features)
-    state = initial_state(jax.tree_util.tree_map(jnp.array, variables), opt)
+    # with_state=False: reusable-parts-only callers skip the TrainState
+    # copy (params + Adam moments ≈ 1-2 GB HBM churn per build)
+    state = (initial_state(jax.tree_util.tree_map(jnp.array, variables), opt)
+             if with_state else None)
     b = synthetic_train_batch(batch, num_classes, tuple(cfg.INPUT.SIZE_TRAIN), rng)
     return {
         "step": step, "state": state, "batch": b,

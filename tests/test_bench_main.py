@@ -70,6 +70,8 @@ def test_backend_dead_error_classifier():
         ValueError("shape mismatch (64, 3) vs (64, 4)"),
         RuntimeError("DEADLINE_EXCEEDED: compile took too long"),  # healthy
         MemoryError("RESOURCE_EXHAUSTED: out of memory on device"),
+        # prose 'unavailable' without the gRPC status colon = NOT dead
+        RuntimeError("custom call target 'mosaic' unavailable on this platform"),
     ]
     for e in dead:
         assert bench._backend_dead_error(e), e

@@ -183,8 +183,12 @@ def test_sparse_sharded_matches_single_device(minsum):
         jnp.asarray(qf), jnp.asarray(gf), **kw
     ))
     with mesh:
+        # q_block=7 with 22 queries: 4 blocks incl. an overlapping ragged
+        # tail — the donated streaming path (the r4-crash memory regime
+        # fix) must be value-identical under the mesh too
         sharded = np.asarray(re_ranking_sparse_sharded(
-            jnp.asarray(qf), jnp.asarray(gf), mesh, axis="data", **kw
+            jnp.asarray(qf), jnp.asarray(gf), mesh, axis="data",
+            q_block=7, **kw
         ))
     assert sharded.shape == single.shape
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-5)
